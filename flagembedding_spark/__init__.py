@@ -1,0 +1,19 @@
+"""flagembedding_spark — a from-scratch PySpark-native lexical-retrieval engine.
+
+Rebuilds the retrieval dataflow of FlagOpen/FlagEmbedding (corpus ingestion →
+tokenization → inverted-index build → top-k BM25 scoring → reranking → metric
+aggregation) as idiomatic Spark DataFrame jobs, designed for a 10^12-file
+Iceberg source-code corpus.
+
+Reference semantics: /root/reference (FlagOpen/FlagEmbedding), chiefly
+``research/llm_embedder/src/retrieval/modeling_bm25.py`` (the NaiveBM25Retriever
+oracle) and ``FlagEmbedding/abc/evaluation/`` (the eval-harness contract).
+No reference code is copied; only behavior is matched.
+"""
+
+from flagembedding_spark.config import BM25Config
+from flagembedding_spark.operators.index_build import InvertedIndex, build_index
+from flagembedding_spark.operators.query import bm25_topk
+
+__all__ = ["BM25Config", "InvertedIndex", "build_index", "bm25_topk"]
+__version__ = "0.1.0"

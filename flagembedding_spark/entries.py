@@ -1,0 +1,295 @@
+"""Driver-facing query registry: Spark callables + matching DuckDB oracle SQL.
+
+Every entry runs the engine's operators over the driver's parquet tables
+(``documents`` / ``embeddings``) and has an ANSI-SQL twin generated from the
+SAME constants (query set, k1/b, k) so parity holds by construction.
+
+Cross-engine determinism rules used throughout:
+- scores are ``round(x, 4)`` BEFORE ranking, ties broken by docid — rank order
+  is then invariant to float summation order differences between engines;
+- tokenization is single-space split with empties preserved, identical in
+  Python (reference), Spark (split(col,' ',-1)) and DuckDB (string_split).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flagembedding_spark.config import BM25Config
+from flagembedding_spark.operators.index_build import InvertedIndex, build_index
+from flagembedding_spark.operators.query import bm25_topk, query_terms
+
+# ---------------------------------------------------------------------------
+# shared constants — the "reference query set" for the driver tables
+# ---------------------------------------------------------------------------
+
+K1, B, TOPK = 1.2, 0.75, 10
+NAIVE_K1, NAIVE_B = 0.9, 0.4  # reference NaiveBM25Retriever defaults
+
+# mix per FIXTURES.md §2: hot terms, the rare term 'dup', duplicated terms
+# (qtf>1), partial-OOV and all-OOV queries.
+QUERY_SET: list[tuple[str, str]] = [
+    ("q1", "spark hash join"),
+    ("q2", "dup merge"),
+    ("q3", "window window group"),
+    ("q4", "zz_oov_token spark"),
+    ("q5", "zz_oov_only zz_oov_only_b"),
+    ("q6", "the a"),
+    ("q7", "dup"),
+    ("q8", "sort order key value scan"),
+]
+
+RUN_TAG = "flagembedding_spark"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(QUERY_SET, ["query_id", "query"])
+
+
+def build_doc_index(spark: SparkSession, sf_dir: str,
+                    config: BM25Config | None = None) -> InvertedIndex:
+    docs = _docs(spark, sf_dir)
+    return build_index(
+        docs, config or BM25Config(k1=K1, b=B),
+        content_col="text", docid_long="doc_id", cache=False,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL building blocks (DuckDB)
+# ---------------------------------------------------------------------------
+
+_BASE_CTES = """
+tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT avg(dl) FROM doclen) AS avgdl
+)
+"""
+
+
+def _values_queries() -> str:
+    rows = ", ".join(f"('{q}', '{t}')" for q, t in QUERY_SET)
+    return f"(VALUES {rows}) AS q(qid, query)"
+
+
+def _qterm_ctes() -> str:
+    return f"""
+qtok AS (
+  SELECT qid, unnest(string_split(query, ' ')) AS term FROM {_values_queries()}
+),
+qterms AS (SELECT qid, term, count(*) AS qtf FROM qtok GROUP BY qid, term)
+"""
+
+
+def _scored_sql(k1: float, b: float, use_avgdl: bool) -> str:
+    dlnorm = "l.dl / s.avgdl" if use_avgdl else "l.dl"
+    return f"""
+scored AS (
+  SELECT q.qid AS qid, t.doc_id AS docid,
+         sum(q.qtf
+             * ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * ({k1} + 1.0) * t.tf
+             / (t.tf + {k1} * (1.0 - {b} + {b} * {dlnorm}))) AS score
+  FROM tf t
+  JOIN df d USING (term)
+  JOIN qterms q USING (term)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY q.qid, t.doc_id
+)
+"""
+
+
+def bm25_sql(k1: float = K1, b: float = B, k: int = TOPK,
+             use_avgdl: bool = True) -> str:
+    return f"""
+WITH {_BASE_CTES.strip()},
+{_qterm_ctes().strip()},
+{_scored_sql(k1, b, use_avgdl).strip()},
+ranked AS (
+  SELECT qid, docid, round(score, 4) AS score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 4) DESC, docid ASC) AS rank
+  FROM scored
+)
+SELECT qid, docid, score, rank FROM ranked WHERE rank <= {k}
+ORDER BY qid, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side entries
+# ---------------------------------------------------------------------------
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full inverted-index build + BM25 top-10 (standard avgdl form,
+    k1=1.2 b=0.75 per BASELINE.json)."""
+    idx = build_doc_index(spark, sf_dir)
+    return bm25_topk(idx, _queries_df(spark), k=TOPK, round_scores=4)
+
+
+def q_bm25_topk_naive_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same engine, reference NaiveBM25Retriever parameterization
+    (k1=0.9 b=0.4, raw-dl normalization — modeling_bm25.py:13,144,227)."""
+    cfg = BM25Config(k1=NAIVE_K1, b=NAIVE_B, use_avgdl=False)
+    idx = build_doc_index(spark, sf_dir, cfg)
+    return bm25_topk(idx, _queries_df(spark), k=TOPK, round_scores=4)
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4 doc length + T1 tokenizer (dl == len(text.split(' ')))."""
+    idx = build_doc_index(spark, sf_dir)
+    return idx.doc_stats.select(
+        F.col("docid"), F.col("dl"), F.col("content_sha256").alias("sha")
+    )
+
+
+def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 term-frequency postings (term, docid, tf, dl)."""
+    idx = build_doc_index(spark, sf_dir)
+    return idx.postings.select("term", "docid", "tf", "dl")
+
+
+def q_term_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 document frequency + idf (exact; idf rounded for cross-engine hash)."""
+    idx = build_doc_index(spark, sf_dir)
+    return idx.dictionary.select(
+        "term", "df", F.round("idf", 6).alias("idf")
+    )
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 corpus size + average doc length (broadcast stats artifact)."""
+    idx = build_doc_index(spark, sf_dir)
+    return spark.createDataFrame(
+        [(idx.stats.n_docs, round(idx.stats.avgdl, 6))], ["n_docs", "avgdl"]
+    )
+
+
+def q_inverted_list_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 inverted-list construction, summarized per term (postings sorted by
+    docid; min/max/count/sum_tf pin the list contents)."""
+    idx = build_doc_index(spark, sf_dir)
+    return idx.postings.groupBy("term").agg(
+        F.count("*").alias("postings"),
+        F.min("docid").alias("first_docid"),
+        F.max("docid").alias("last_docid"),
+        F.sum("tf").alias("sum_tf"),
+    )
+
+
+def q_query_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 query sanitization: newline/tab → space; drop empty-after-strip."""
+    raw = spark.createDataFrame(
+        [("q1", "hello\nworld"), ("q2", " \n\t "), ("q3", "spark\tjoin"), ("q4", "ok")],
+        ["qid", "query"],
+    )
+    from flagembedding_spark.functions.tokenize import sanitize_queries
+
+    return sanitize_queries(raw).select("qid", "query")
+
+
+def q_trec_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 TREC run sink format: 'qid Q0 docid rank score tag'
+    (step0-hybrid_search_results.py:108-113)."""
+    topk = q_bm25_topk(spark, sf_dir)
+    return topk.select(
+        F.concat_ws(
+            " ",
+            F.col("qid"),
+            F.lit("Q0"),
+            F.col("docid").cast("string"),
+            F.col("rank").cast("string"),
+            F.col("score").cast("decimal(18,4)").cast("string"),
+            F.lit(RUN_TAG),
+        ).alias("line")
+    )
+
+
+def q_query_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-term aggregation with qtf>1 duplicate semantics (SURVEY §2.5.2)."""
+    return query_terms(_queries_df(spark))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+SPARK_ENTRIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bm25_topk": q_bm25_topk,
+    "bm25_topk_naive_params": q_bm25_topk_naive_params,
+    "doc_stats": q_doc_stats,
+    "postings": q_postings,
+    "term_dictionary": q_term_dictionary,
+    "corpus_stats": q_corpus_stats,
+    "inverted_list_summary": q_inverted_list_summary,
+    "query_sanitize": q_query_sanitize,
+    "trec_run": q_trec_run,
+    "query_terms": q_query_terms,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "bm25_topk": bm25_sql(K1, B, TOPK, use_avgdl=True),
+    "bm25_topk_naive_params": bm25_sql(NAIVE_K1, NAIVE_B, TOPK, use_avgdl=False),
+    "doc_stats": f"""
+WITH {_BASE_CTES.strip()}
+SELECT d.doc_id AS docid, l.dl AS dl, sha256(d.text) AS sha
+FROM documents d JOIN doclen l USING (doc_id)
+""",
+    "postings": f"""
+WITH {_BASE_CTES.strip()}
+SELECT t.term AS term, t.doc_id AS docid, t.tf AS tf, l.dl AS dl
+FROM tf t JOIN doclen l USING (doc_id)
+""",
+    "term_dictionary": f"""
+WITH {_BASE_CTES.strip()}
+SELECT d.term AS term, d.df AS df,
+       round(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0), 6) AS idf
+FROM df d CROSS JOIN stats s
+""",
+    "corpus_stats": f"""
+WITH {_BASE_CTES.strip()}
+SELECT s.n AS n_docs, round(s.avgdl, 6) AS avgdl FROM stats s
+""",
+    "inverted_list_summary": f"""
+WITH {_BASE_CTES.strip()}
+SELECT term, count(*) AS postings, min(doc_id) AS first_docid,
+       max(doc_id) AS last_docid, sum(tf) AS sum_tf
+FROM tf GROUP BY term
+""",
+    "query_sanitize": """
+WITH raw(qid, query) AS (
+  VALUES ('q1', 'hello' || chr(10) || 'world'),
+         ('q2', ' ' || chr(10) || chr(9) || ' '),
+         ('q3', 'spark' || chr(9) || 'join'),
+         ('q4', 'ok')
+)
+SELECT qid, regexp_replace(query, '[\\n\\t\\r]', ' ', 'g') AS query
+FROM raw
+WHERE length(trim(regexp_replace(query, '[\\n\\t\\r]', ' ', 'g'))) > 0
+""",
+    "trec_run": f"""
+WITH base AS ({bm25_sql(K1, B, TOPK, use_avgdl=True).strip()})
+SELECT concat_ws(' ', qid, 'Q0', CAST(docid AS VARCHAR), CAST(rank AS VARCHAR),
+                 CAST(CAST(score AS DECIMAL(18,4)) AS VARCHAR), '{RUN_TAG}') AS line
+FROM base
+""",
+    "query_terms": f"""
+WITH {_qterm_ctes().strip()}
+SELECT qid, term, qtf FROM qterms
+""",
+}

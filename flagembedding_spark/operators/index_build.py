@@ -1,0 +1,203 @@
+"""Inverted-index build — the distributed analog of the reference's
+``NaiveBM25Retriever.index`` (modeling_bm25.py:148-186) and of the Anserini
+``IndexCollection`` job it shells out to (modeling_bm25.py:91-107).
+
+Reference artifacts → Spark artifacts:
+
+    dfs: {term: df}                    → dictionary DF (term, df, idf)
+    tfs: [{term: tf}] (row-major)      → postings DF (term, docid, tf, dl)
+    inverted_lists: {term: [docid]}    → postings sorted (term, docid) in the
+                                         segment layout (segments.py)
+    doc_length: float32[N]             → doc_stats DF (docid, dl, content_sha256)
+    N                                  → corpus_stats (N, avgdl), broadcast
+
+Scale notes (10^12 files):
+- ``dl`` is denormalized into postings at build time (Lucene stores the same
+  as a per-doc norm) so query-time scoring never joins postings⋈doc_stats —
+  that join would shuffle the biggest table in the system.
+- tf aggregation is a single hash aggregate with map-side partial combine;
+  no driver-side state, no collect of anything O(corpus).
+- ``assign_doc_ids`` produces dense integer docIDs via repartitionByRange +
+  per-partition offsets (two small jobs), never a single-partition window.
+- per-row invariant (BASELINE.json.input_hint): content_sha256 is computed at
+  ingest and carried into doc_stats so index↔source equality is checkable row
+  by row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flagembedding_spark.config import BM25Config
+from flagembedding_spark.functions.tokenize import stop_filter, whitespace_tokens
+
+
+@dataclass
+class CorpusStats:
+    n_docs: int
+    avgdl: float
+
+
+@dataclass
+class InvertedIndex:
+    """Logical index: three DataFrames + tiny broadcast-able stats."""
+
+    postings: DataFrame  # (term, docid long, tf long, dl long)
+    doc_stats: DataFrame  # (docid long, docid_str, dl long, content_sha256)
+    dictionary: DataFrame  # (term, df long, idf double)
+    stats: CorpusStats
+    config: BM25Config = field(default_factory=BM25Config)
+
+    @property
+    def avgdl_effective(self) -> float:
+        return self.stats.avgdl if self.config.use_avgdl else 1.0
+
+
+def docid_expr() -> F.Column:
+    """String docid per SURVEY §1.1: repo:path@commit."""
+    return F.concat_ws("", F.col("repo"), F.lit(":"), F.col("path"), F.lit("@"), F.col("commit"))
+
+
+def assign_doc_ids(df: DataFrame, key_col: str = "docid_str") -> DataFrame:
+    """Dense, deterministic integer docIDs ordered by ``key_col``.
+
+    Two-phase, scale-safe: range-repartition by key (sampled range exchange),
+    sort within partitions, count per partition (tiny collect: one row per
+    partition), then add broadcast offsets with a per-partition row_number.
+    Equivalent to zipWithIndex but stays in DataFrame land and never funnels
+    data through one partition the way ``Window.orderBy(key)`` would.
+    """
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    parted = (
+        df.repartitionByRange(n_part, F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    parted = parted.localCheckpoint(eager=True)  # pin partitioning for both jobs
+    counts = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy(key_col)
+    return (
+        parted.withColumn("docid", offset_map[F.col("_pid")] + F.row_number().over(w) - 1)
+        .drop("_pid")
+    )
+
+
+def tokenize_corpus(
+    corpus: DataFrame,
+    config: BM25Config,
+    content_col: str = "content",
+    docid_str: F.Column | None = None,
+) -> DataFrame:
+    """corpus → (docid_str, content_sha256, tokens, dl).
+
+    dl counts *unfiltered* tokens (reference: modeling_bm25.py:180 measures
+    len(doc) before the stop filter drops tokens from tf/df).
+    """
+    did = docid_str if docid_str is not None else docid_expr()
+    toks = whitespace_tokens(content_col)
+    out = corpus.select(
+        did.alias("docid_str"),
+        F.sha2(F.col(content_col), 256).alias("content_sha256"),
+        toks.alias("tokens"),
+        F.size(toks).cast("long").alias("dl"),
+    )
+    if config.stop_tokens:
+        out = out.withColumn("tokens", stop_filter(F.col("tokens"), config.stop_tokens))
+    return out
+
+
+def build_index(
+    corpus: DataFrame,
+    config: BM25Config | None = None,
+    content_col: str = "content",
+    docid_str: F.Column | None = None,
+    docid_long: str | None = None,
+    cache: bool = True,
+) -> InvertedIndex:
+    """Full logical index build. One shuffle for tf (hash agg with map-side
+    combine), one for df; stats are a tiny agg. All whole-stage-codegen.
+
+    ``docid_long``: name of a pre-existing integer docid column (e.g. a table
+    that already carries a surrogate key). When given, the dense-id assignment
+    pass is skipped entirely.
+    """
+    config = config or BM25Config()
+
+    if docid_long is not None and docid_str is None:
+        docid_str = F.col(docid_long).cast("string")
+    tokenized = tokenize_corpus(corpus, config, content_col, docid_str)
+    if docid_long is not None:
+        # docid_str IS the stringified integer key — recover it directly; no
+        # dense-id assignment pass needed.
+        with_ids = tokenized.withColumn("docid", F.col("docid_str").cast("long"))
+    else:
+        with_ids = assign_doc_ids(tokenized)
+
+    doc_stats = with_ids.select("docid", "docid_str", "dl", "content_sha256")
+    if cache:
+        doc_stats = doc_stats.cache()
+
+    # A1 term frequency: explode → hash agg. dl rides along (functionally
+    # dependent on docid, so the extra grouping key costs nothing).
+    postings = (
+        with_ids.select("docid", "dl", F.explode("tokens").alias("term"))
+        .groupBy("term", "docid", "dl")
+        .agg(F.count("*").alias("tf"))
+        .select("term", "docid", "tf", "dl")
+    )
+    if cache:
+        postings = postings.cache()
+
+    row = doc_stats.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    stats = CorpusStats(n_docs=int(row["n"]), avgdl=float(row["avgdl"] or 0.0))
+
+    # A2 document frequency + idf (exact — approx_count_distinct would break
+    # score parity). idf = ln((N - df + 0.5)/(df + 0.5) + 1), modeling_bm25.py:225
+    n = F.lit(float(stats.n_docs))
+    dictionary = (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn(
+            "idf",
+            F.log((n - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+    )
+    if cache:
+        dictionary = dictionary.cache()
+
+    return InvertedIndex(
+        postings=postings,
+        doc_stats=doc_stats,
+        dictionary=dictionary,
+        stats=stats,
+        config=config,
+    )
+
+
+def verify_content_sha(index: InvertedIndex, corpus: DataFrame,
+                       content_col: str = "content",
+                       docid_str: F.Column | None = None) -> int:
+    """Per-row invariant (input_hint): sha256(content) equality index↔source.
+    Returns the number of mismatching rows (0 == pass)."""
+    did = docid_str if docid_str is not None else docid_expr()
+    src = corpus.select(
+        did.alias("docid_str"), F.sha2(F.col(content_col), 256).alias("src_sha")
+    )
+    joined = index.doc_stats.join(src, "docid_str", "full_outer")
+    return joined.filter(
+        (F.col("content_sha256").isNull())
+        | (F.col("src_sha").isNull())
+        | (F.col("content_sha256") != F.col("src_sha"))
+    ).count()

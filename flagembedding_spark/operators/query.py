@@ -1,0 +1,143 @@
+"""BM25 top-k query execution — DataFrame path (no Python in the hot path).
+
+Semantics replicated from NaiveBM25Retriever.search
+(research/llm_embedder/src/retrieval/modeling_bm25.py:212-243):
+
+    idf(t)     = ln((N - df + 0.5)/(df + 0.5) + 1)                     # :225
+    s(t,d)     = idf * (k1+1) * tf / (tf + k1*(1 - b + b*dl/avgdl))    # :227
+                 (the naive oracle uses raw dl, i.e. avgdl ≡ 1 — see
+                  BM25Config.use_avgdl; standard BM25 divides by avgdl)
+    s(q,d)     = Σ over query tokens; duplicate query tokens count
+                 multiply (loop at :217 revisits repeats → qtf factor)
+    missing query terms are skipped (:218-221); hits clamped to N (:195);
+    top-k resolved by (score DESC, docid ASC) — the reference leaves ties
+    unspecified (argpartition, :230-235), we canonicalize.
+
+Physical plan (why it scales):
+- query terms are aggregated to (qid, term, qtf) — a tiny DF.
+- the term dictionary can be huge, but only query terms matter: join
+  dictionary ⋈ broadcast(qterms) first, producing a tiny (term, idf, qid,
+  qtf) artifact that is then BROADCAST into the postings join — the big
+  postings table is never shuffled for the lookup (J1, the reference's
+  ``inverted_lists[token]`` dict probe).
+- partial scores are a codegen'd arithmetic projection; the only shuffle is
+  the (qid, docid) sum — J2's scatter-add — followed by per-qid top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flagembedding_spark.functions.tokenize import whitespace_tokens
+from flagembedding_spark.operators.index_build import InvertedIndex
+
+
+def query_terms(queries: DataFrame, qid_col: str = "query_id",
+                query_col: str = "query") -> DataFrame:
+    """(qid, term, qtf). Duplicate tokens aggregate to qtf>1 (SURVEY §2.5.2)."""
+    return (
+        queries.select(F.col(qid_col).alias("qid"), F.explode(whitespace_tokens(query_col)).alias("term"))
+        .groupBy("qid", "term")
+        .agg(F.count("*").alias("qtf"))
+    )
+
+
+def bm25_partial_scores(
+    index: InvertedIndex,
+    qterms: DataFrame,
+    k1: float | None = None,
+    b: float | None = None,
+) -> DataFrame:
+    """(qid, docid, partial score) before the scatter-add aggregation."""
+    cfg = index.config
+    k1 = cfg.k1 if k1 is None else k1
+    b = cfg.b if b is None else b
+    avgdl = index.avgdl_effective
+
+    # tiny: only terms that appear in some query survive this join
+    qt_idf = index.dictionary.join(F.broadcast(qterms), "term").select(
+        "term", "qid", "qtf", "idf"
+    )
+
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+    partial = F.col("qtf") * F.col("idf") * F.lit(k1 + 1.0) * tf / denom
+
+    return index.postings.join(F.broadcast(qt_idf), "term").select(
+        "qid", "docid", partial.alias("s")
+    )
+
+
+def bm25_topk(
+    index: InvertedIndex,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float | None = None,
+    b: float | None = None,
+    qid_col: str = "query_id",
+    query_col: str = "query",
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Top-k BM25 per query: (qid, docid, score, rank). Deterministic ties.
+
+    ``round_scores``: round the summed score to N decimals *before* ranking —
+    used by the cross-engine oracle harness so rank order is invariant to
+    float summation order between engines.
+    """
+    k = min(k, index.stats.n_docs) if index.stats.n_docs else k
+    qt = query_terms(queries, qid_col, query_col)
+    scored = (
+        bm25_partial_scores(index, qt, k1, b)
+        .groupBy("qid", "docid")
+        .agg(F.sum("s").alias("score"))
+    )
+    if round_scores is not None:
+        scored = scored.withColumn("score", F.round("score", round_scores))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "docid", "score", "rank")
+    )
+
+
+def attach_docid_str(results: DataFrame, index: InvertedIndex) -> DataFrame:
+    """Map integer docIDs back to string docids (repo:path@commit).
+    doc_stats is the small side at query time only for modest top-k result
+    sets; we broadcast the *results* into it, not vice versa."""
+    return index.doc_stats.select("docid", "docid_str").join(
+        F.broadcast(results), "docid"
+    )
+
+
+def reference_result_arrays(
+    topk: DataFrame, k: int
+) -> DataFrame:
+    """Reproduce the reference's padded array contract: positions with score 0
+    → docid −1, score −inf (modeling_bm25.py:237-239); short lists padded to k.
+    Output: (qid, docids array<long>, scores array<double>)."""
+    agg = topk.groupBy("qid").agg(
+        F.sort_array(
+            F.collect_list(F.struct("rank", "docid", "score"))
+        ).alias("hits")
+    )
+    pad = F.sequence(F.lit(1), F.lit(k))
+    return agg.select(
+        "qid",
+        F.transform(
+            pad,
+            lambda i: F.coalesce(
+                F.element_at(F.col("hits"), i)["docid"], F.lit(-1)
+            ),
+        ).alias("docids"),
+        F.transform(
+            pad,
+            lambda i: F.coalesce(
+                F.element_at(F.col("hits"), i)["score"],
+                F.lit(float("-inf")),
+            ),
+        ).alias("scores"),
+    )

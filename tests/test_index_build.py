@@ -1,0 +1,111 @@
+"""Index-build aggregates vs brute-force Python on the tiny fixture corpus."""
+
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from flagembedding_spark.config import BM25Config
+from flagembedding_spark.operators.index_build import (
+    build_index,
+    docid_expr,
+    verify_content_sha,
+)
+from flagembedding_spark.schemas import synth_corpus_rows
+
+
+@pytest.fixture(scope="module")
+def index(tiny_corpus):
+    return build_index(tiny_corpus, BM25Config())
+
+
+@pytest.fixture(scope="module")
+def brute():
+    rows = synth_corpus_rows(200, seed=42)
+    docs = {f"{r[0]}:{r[1]}@{r[2]}": r[4].split(" ") for r in rows}
+    tf = {d: Counter(toks) for d, toks in docs.items()}
+    df = defaultdict(int)
+    for d, c in tf.items():
+        for t in c:
+            df[t] += 1
+    dl = {d: len(toks) for d, toks in docs.items()}
+    return docs, tf, dict(df), dl
+
+
+def test_doc_ids_dense_and_ordered(index):
+    rows = index.doc_stats.select("docid", "docid_str").orderBy("docid").collect()
+    ids = [r["docid"] for r in rows]
+    assert ids == list(range(len(ids)))
+    keys = [r["docid_str"] for r in rows]
+    assert keys == sorted(keys)  # dense ids follow docid_str order
+
+
+def test_doc_lengths(index, brute):
+    _, _, _, dl = brute
+    got = {r["docid_str"]: r["dl"] for r in index.doc_stats.collect()}
+    assert got == dl
+
+
+def test_tf_postings(index, brute):
+    _, tf, _, _ = brute
+    id_map = {r["docid"]: r["docid_str"] for r in index.doc_stats.collect()}
+    got = defaultdict(dict)
+    for r in index.postings.collect():
+        got[id_map[r["docid"]]][r["term"]] = r["tf"]
+    want = {d: dict(c) for d, c in tf.items()}
+    assert dict(got) == want
+
+
+def test_df_dictionary(index, brute):
+    _, _, df, _ = brute
+    got = {r["term"]: r["df"] for r in index.dictionary.collect()}
+    assert got == df
+
+
+def test_corpus_stats(index, brute):
+    _, _, _, dl = brute
+    assert index.stats.n_docs == 200
+    assert abs(index.stats.avgdl - sum(dl.values()) / len(dl)) < 1e-9
+
+
+def test_postings_carry_dl(index, brute):
+    _, _, _, dl = brute
+    id_map = {r["docid"]: r["docid_str"] for r in index.doc_stats.collect()}
+    bad = [
+        r
+        for r in index.postings.select("docid", "dl").distinct().collect()
+        if dl[id_map[r["docid"]]] != r["dl"]
+    ]
+    assert not bad
+
+
+def test_content_sha_invariant(index, tiny_corpus):
+    assert verify_content_sha(index, tiny_corpus) == 0
+
+
+def test_sha_detects_mutation(tiny_corpus):
+    idx = build_index(tiny_corpus, BM25Config())
+    mutated = tiny_corpus.withColumn(
+        "content",
+        F.when(F.col("path").contains("file_0."), F.lit("tampered")).otherwise(
+            F.col("content")
+        ),
+    )
+    assert verify_content_sha(idx, mutated) > 0
+
+
+def test_stop_tokens_drop_from_postings_not_dl(tiny_corpus):
+    cfg = BM25Config(stop_tokens=frozenset({"def", "("}))
+    idx = build_index(tiny_corpus, cfg)
+    terms = {r["term"] for r in idx.dictionary.select("term").collect()}
+    assert "def" not in terms and "(" not in terms
+    # dl unchanged vs unfiltered build
+    base = build_index(tiny_corpus, BM25Config())
+    a = {r["docid_str"]: r["dl"] for r in idx.doc_stats.collect()}
+    b = {r["docid_str"]: r["dl"] for r in base.doc_stats.collect()}
+    assert a == b
+
+
+def test_docid_expr(tiny_corpus):
+    row = tiny_corpus.select(docid_expr().alias("d"), "repo", "path", "commit").first()
+    assert row["d"] == f"{row['repo']}:{row['path']}@{row['commit']}"

@@ -1,0 +1,59 @@
+from pyspark.sql import functions as F
+
+from flagembedding_spark.functions.tokenize import (
+    code_tokens,
+    normalize_text,
+    sanitize_queries,
+    stop_filter,
+    whitespace_tokens,
+)
+
+
+def test_whitespace_split_matches_python(spark):
+    """T1: must equal Python's str.split(' ') — including empty tokens from
+    space runs and trailing spaces (modeling_bm25.py:164-165)."""
+    samples = ["a b c", "a  b", " lead", "trail ", "", "a\nb c", "x   ", "a\tb"]
+    df = spark.createDataFrame([(s,) for s in samples], ["t"])
+    got = [r[0] for r in df.select(whitespace_tokens("t")).collect()]
+    assert got == [s.split(" ") for s in samples]
+
+
+def test_code_tokens_basic(spark):
+    df = spark.createDataFrame([("def foo_bar(x1, y):\n  return x1==y",)], ["t"])
+    toks = df.select(code_tokens("t")).first()[0]
+    assert toks == ["def", "foo_bar", "(", "x1", ",", "y", ")", ":",
+                    "return", "x1", "=", "=", "y"]
+
+
+def test_code_tokens_split_identifiers(spark):
+    df = spark.createDataFrame([("getFooBar snake_case_id HTTPServer",)], ["t"])
+    toks = df.select(code_tokens("t", split_identifiers=True)).first()[0]
+    assert "get" in toks and "foo" in toks and "bar" in toks
+    assert "snake" in toks and "case" in toks and "id" in toks
+
+
+def test_stop_filter_keeps_doclen_semantics(spark):
+    """T3: stop tokens leave tf/df but doclen counts unfiltered tokens."""
+    df = spark.createDataFrame([("the cat the dog",)], ["t"])
+    out = df.select(
+        F.size(whitespace_tokens("t")).alias("dl"),
+        stop_filter(whitespace_tokens("t"), {"the"}).alias("toks"),
+    ).first()
+    assert out["dl"] == 4
+    assert out["toks"] == ["cat", "dog"]
+
+
+def test_sanitize_queries(spark):
+    df = spark.createDataFrame(
+        [("q1", "hello\nworld"), ("q2", "  \n "), ("q3", "ok")],
+        ["query_id", "query"],
+    )
+    out = sanitize_queries(df).collect()
+    got = {r["query_id"]: r["query"] for r in out}
+    assert set(got) == {"q1", "q3"}
+    assert got["q1"] == "hello world"
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame([("  Foo   BAR\tbaz ",)], ["t"])
+    assert df.select(normalize_text("t")).first()[0] == "foo bar baz"
