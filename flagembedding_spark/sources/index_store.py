@@ -1,0 +1,130 @@
+"""Persisted index layout — the analog of the reference's on-disk Lucene index
+(modeling_bm25.py:91-107 builds one via Anserini ``IndexCollection``; S10).
+
+Layout (parquet; Iceberg-compatible — swap ``.parquet(...)`` for
+``.format("iceberg").save(...)`` on a real deployment):
+
+    <root>/postings/    (term, docid, tf, dl)   — the postings table
+    <root>/doc_stats/   (docid, docid_str, dl, content_sha256)
+    <root>/dictionary/  (term, df, idf)
+    <root>/stats.json   {n_docs, avgdl, k1, b, use_avgdl}
+
+The segment-compressed, term-partitioned layout (delta-gap varint blocks +
+block-max metadata) lives in operators/segments.py; this store is the plain
+columnar form every other operator composes with.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+from flagembedding_spark.config import BM25Config
+from flagembedding_spark.operators.index_build import CorpusStats, InvertedIndex
+
+
+def build_and_save_index(
+    corpus,
+    root: str,
+    config: BM25Config | None = None,
+    content_col: str = "content",
+    docid_str=None,
+) -> InvertedIndex:
+    """One-pass persisted build (the real index-build job shape at scale):
+
+      corpus → mapInArrow tokenize-and-count → write unified stream parquet
+      (single corpus pass, postings + doc-stats rows interleaved) → derive
+      dictionary/stats from the persisted parquet (cheap column-pruned scans,
+      no recompute of the corpus pass).
+
+    Returns the loaded index backed by the persisted files.
+    """
+    from pyspark.sql import functions as F
+
+    from flagembedding_spark.operators.arrow_postings import tokenize_count_stream
+
+    config = config or BM25Config()
+    stream = tokenize_count_stream(corpus, config, content_col, docid_str)
+    stream.write.mode("overwrite").parquet(f"{root}/stream")
+
+    spark = corpus.sparkSession
+    persisted = spark.read.parquet(f"{root}/stream")
+    doc_stats = persisted.filter(F.col("term").isNull())
+    row = doc_stats.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+
+    postings = persisted.filter(F.col("term").isNotNull())
+    n = float(n_docs)
+    dictionary = (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn("idf", F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0))
+    )
+    dictionary.write.mode("overwrite").parquet(f"{root}/dictionary")
+
+    meta = {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "k1": config.k1,
+        "b": config.b,
+        "use_avgdl": config.use_avgdl,
+        "stop_tokens": sorted(config.stop_tokens),
+        "layout": "stream",
+    }
+    with open(f"{root}/stats.json", "w") as f:
+        json.dump(meta, f)
+    return load_index(spark, root)
+
+
+def save_index(index: InvertedIndex, root: str, postings_partitions: int | None = None) -> None:
+    p = index.postings
+    if postings_partitions:
+        p = p.repartition(postings_partitions)
+    p.write.mode("overwrite").parquet(f"{root}/postings")
+    index.doc_stats.write.mode("overwrite").parquet(f"{root}/doc_stats")
+    index.dictionary.write.mode("overwrite").parquet(f"{root}/dictionary")
+    cfg = index.config
+    meta = {
+        "n_docs": index.stats.n_docs,
+        "avgdl": index.stats.avgdl,
+        "k1": cfg.k1,
+        "b": cfg.b,
+        "use_avgdl": cfg.use_avgdl,
+        "stop_tokens": sorted(cfg.stop_tokens),
+    }
+    os.makedirs(root, exist_ok=True)
+    with open(f"{root}/stats.json", "w") as f:
+        json.dump(meta, f)
+
+
+def load_index(spark: SparkSession, root: str) -> InvertedIndex:
+    from pyspark.sql import functions as F
+
+    with open(f"{root}/stats.json") as f:
+        meta = json.load(f)
+    cfg = BM25Config(
+        k1=meta["k1"],
+        b=meta["b"],
+        use_avgdl=meta["use_avgdl"],
+        stop_tokens=frozenset(meta.get("stop_tokens", [])),
+    )
+    if meta.get("layout") == "stream":
+        stream = spark.read.parquet(f"{root}/stream")
+        postings = stream.filter(F.col("term").isNotNull()).select(
+            "term", "docid", "tf", "dl"
+        )
+        doc_stats = stream.filter(F.col("term").isNull()).select(
+            "docid", "docid_str", "dl", "content_sha256"
+        )
+    else:
+        postings = spark.read.parquet(f"{root}/postings")
+        doc_stats = spark.read.parquet(f"{root}/doc_stats")
+    return InvertedIndex(
+        postings=postings,
+        doc_stats=doc_stats,
+        dictionary=spark.read.parquet(f"{root}/dictionary"),
+        stats=CorpusStats(n_docs=meta["n_docs"], avgdl=meta["avgdl"]),
+        config=cfg,
+    )

@@ -32,12 +32,45 @@ def brute():
     return docs, tf, dict(df), dl
 
 
-def test_doc_ids_dense_and_ordered(index):
+def test_doc_ids_dense_insertion_order(index):
+    """Arrow path: dense 0..N-1 ids in corpus insertion order — the
+    reference's enumeration semantics (modeling_bm25.py:163)."""
     rows = index.doc_stats.select("docid", "docid_str").orderBy("docid").collect()
     ids = [r["docid"] for r in rows]
     assert ids == list(range(len(ids)))
+    gen = synth_corpus_rows(200, seed=42)
+    want = [f"{r[0]}:{r[1]}@{r[2]}" for r in gen]
+    assert [r["docid_str"] for r in rows] == want
+
+
+def test_sql_path_ids_dense_and_key_ordered(tiny_corpus):
+    idx = build_index(tiny_corpus, BM25Config(), method="sql")
+    rows = idx.doc_stats.select("docid", "docid_str").orderBy("docid").collect()
+    ids = [r["docid"] for r in rows]
+    assert ids == list(range(len(ids)))
     keys = [r["docid_str"] for r in rows]
-    assert keys == sorted(keys)  # dense ids follow docid_str order
+    assert keys == sorted(keys)  # sql path: dense ids follow docid_str order
+
+
+def test_arrow_and_sql_paths_build_identical_index(tiny_corpus):
+    """Same (term, docid_str, tf, dl) postings and dictionary regardless of
+    build path — only the docid numbering scheme differs."""
+    a = build_index(tiny_corpus, BM25Config(), method="arrow")
+    s = build_index(tiny_corpus, BM25Config(), method="sql")
+
+    def canon(idx):
+        id2s = {r["docid"]: r["docid_str"] for r in idx.doc_stats.collect()}
+        return sorted(
+            (r["term"], id2s[r["docid"]], r["tf"], r["dl"])
+            for r in idx.postings.collect()
+        )
+
+    assert canon(a) == canon(s)
+    da = {(r["term"], r["df"]) for r in a.dictionary.collect()}
+    ds = {(r["term"], r["df"]) for r in s.dictionary.collect()}
+    assert da == ds
+    assert a.stats.n_docs == s.stats.n_docs
+    assert abs(a.stats.avgdl - s.stats.avgdl) < 1e-9
 
 
 def test_doc_lengths(index, brute):
