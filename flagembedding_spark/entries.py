@@ -150,6 +150,33 @@ def q_bm25_topk_naive_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(idx, _queries_df(spark), k=TOPK, round_scores=4)
 
 
+def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship via the SCALE path: salted segment build → log-structured
+    merge → delta-gap varint blocks → block-max WAND. Must be rank-identical
+    to the plain DataFrame path (same oracle SQL as bm25_topk)."""
+    from pyspark.sql.window import Window
+
+    from flagembedding_spark.operators.segments import build_segments, merge_segments
+    from flagembedding_spark.operators.wand import wand_topk
+
+    cfg = BM25Config(k1=K1, b=B, block_size=64, salt_threshold_df=200,
+                     max_salt=4, term_buckets=16)
+    idx = build_doc_index(spark, sf_dir, cfg)
+    seg = merge_segments(build_segments(idx))
+    # fetch extra depth, then re-rank on the rounded score so boundary order
+    # matches the oracle's round-before-rank contract
+    raw = wand_topk(seg, _queries_df(spark), k=TOPK + 10, use_wand=True)
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 4)), F.asc("docid")
+    )
+    return (
+        raw.withColumn("score", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "docid", "score", "rank")
+    )
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4 doc length + T1 tokenizer (dl == len(text.split(' ')))."""
     idx = build_doc_index(spark, sf_dir)
@@ -231,6 +258,7 @@ def q_query_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPARK_ENTRIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
+    "bm25_topk_wand": q_bm25_topk_wand,
     "bm25_topk_naive_params": q_bm25_topk_naive_params,
     "doc_stats": q_doc_stats,
     "postings": q_postings,
@@ -244,6 +272,7 @@ SPARK_ENTRIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "bm25_topk": bm25_sql(K1, B, TOPK, use_avgdl=True),
+    "bm25_topk_wand": bm25_sql(K1, B, TOPK, use_avgdl=True),
     "bm25_topk_naive_params": bm25_sql(NAIVE_K1, NAIVE_B, TOPK, use_avgdl=False),
     "doc_stats": f"""
 WITH {_BASE_CTES.strip()}

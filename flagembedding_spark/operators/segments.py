@@ -1,0 +1,395 @@
+"""Compressed, term-partitioned segment index — the engine's analog of the
+Lucene index the reference builds via Anserini ``IndexCollection``
+(modeling_bm25.py:91-107) and force-merges with ``--optimize``
+(C_MTEB/MLDR/sparse_retrieval/bm25_baseline.py:59).
+
+Layout: posting lists are chunked into blocks of ``config.block_size``
+postings. Each block row carries
+    (bucket, term, block_ord, n, docid_first, docid_last, max_tfn,
+     docs BINARY, tfs BINARY, dls BINARY)
+where the binary columns are delta-gap (docids) + LEB128-varint encoded
+uint64 streams, and ``max_tfn`` is the block's maximum BM25 tf-normalization
+    max over block of tf / (tf + k1*(1 - b + b*dl/avgdl))
+so a query term's score upper bound for the whole block is
+    qtf * idf * (k1+1) * max_tfn
+— the block-max metadata WAND pruning needs. (k1, b, avgdl) are pinned at
+build time in the segment metadata, like Lucene pins its similarity.
+
+Build dataflow (north star):
+    postings → broadcast-join tiny hot-term table (df > salt_threshold_df)
+    → salted repartition by (bucket, term, salt)   [defeats stopword skew]
+    → sortWithinPartitions(term, docid)
+    → mapInArrow block writer (vectorized numpy encode, no per-row Python)
+    → pre-merge segment blocks (a hot term's list spans salt shards)
+    → log-structured merge: applyInArrow per bucket, k-way merge by docid,
+      canonical re-chunk + re-encode  [the ``--optimize`` analog]
+
+Scale notes: bucket count bounds merge-task memory (raise term_buckets at
+larger corpora; the merge is per-bucket-parallel and can be made hierarchical
+by merging salt-shard subsets first — same operator, applied twice). Nothing
+here collects O(corpus) to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flagembedding_spark.config import BM25Config
+from flagembedding_spark.operators.index_build import CorpusStats, InvertedIndex
+
+# ---------------------------------------------------------------------------
+# vectorized LEB128 varint codec (numpy; no per-value Python loops)
+# ---------------------------------------------------------------------------
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array. Vectorized: one pass per byte position
+    (≤10), not per value."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bitlen/7), min 1
+    bits = np.zeros(v.shape, dtype=np.int64)
+    nz = v > 0
+    # bit_length via log2 is unsafe for > 2^53; use a shift loop (≤10 iters)
+    tmp = v.copy()
+    for _ in range(10):
+        m = tmp > 0
+        if not m.any():
+            break
+        bits[m] += 1
+        tmp = tmp >> np.uint64(7)
+    nbytes = np.maximum(bits, 1)
+    offsets = np.cumsum(nbytes) - nbytes
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    for j in range(10):
+        m = nbytes > j
+        if not m.any():
+            break
+        byte = ((v[m] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[m] - 1 > j).astype(np.uint8) << 7
+        out[offsets[m] + j] = byte | cont
+    _ = nz  # (nz retained for clarity; nbytes handles the v==0 case)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode a LEB128 uint64 stream. Vectorized via reduceat."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.nonzero((b & 0x80) == 0)[0]
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    # shift amount of each byte within its value
+    idx = np.arange(b.size, dtype=np.int64)
+    value_id = np.searchsorted(ends, idx, side="left")
+    k = idx - starts[value_id]
+    contrib = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * k.astype(np.uint64))
+    return np.add.reduceat(contrib, starts)
+
+
+# ---------------------------------------------------------------------------
+# block building
+# ---------------------------------------------------------------------------
+
+BLOCK_SCHEMA_PA = pa.schema(
+    [
+        pa.field("bucket", pa.int32(), nullable=False),
+        pa.field("term", pa.string(), nullable=False),
+        pa.field("block_ord", pa.int32(), nullable=False),
+        pa.field("n", pa.int32(), nullable=False),
+        pa.field("docid_first", pa.int64(), nullable=False),
+        pa.field("docid_last", pa.int64(), nullable=False),
+        pa.field("max_tfn", pa.float64(), nullable=False),
+        pa.field("docs", pa.binary(), nullable=False),
+        pa.field("tfs", pa.binary(), nullable=False),
+        pa.field("dls", pa.binary(), nullable=False),
+    ]
+)
+
+BLOCK_SCHEMA_DDL = (
+    "bucket int, term string, block_ord int, n int, docid_first long, "
+    "docid_last long, max_tfn double, docs binary, tfs binary, dls binary"
+)
+
+
+def _tfn(tf: np.ndarray, dl: np.ndarray, k1: float, b: float, avgdl: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def _emit_term_blocks(
+    bucket: int,
+    term: str,
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_size: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    out: list,
+    block_ord_start: int = 0,
+) -> int:
+    """Chunk one term's docid-sorted postings into encoded blocks. Appends
+    row tuples to ``out``; returns next block_ord."""
+    n = docids.size
+    ord_ = block_ord_start
+    for s in range(0, n, block_size):
+        e = min(s + block_size, n)
+        d = docids[s:e]
+        t = tfs[s:e]
+        l_ = dls[s:e]
+        gaps = np.empty(d.size, dtype=np.uint64)
+        gaps[0] = 0  # first docid stored absolutely in docid_first
+        if d.size > 1:
+            gaps[1:] = (d[1:] - d[:-1]).astype(np.uint64)
+        out.append(
+            (
+                bucket,
+                term,
+                ord_,
+                int(e - s),
+                int(d[0]),
+                int(d[-1]),
+                float(_tfn(t, l_, k1, b, avgdl).max()),
+                varint_encode(gaps),
+                varint_encode(t.astype(np.uint64)),
+                varint_encode(l_.astype(np.uint64)),
+            )
+        )
+        ord_ += 1
+    return ord_
+
+
+def _rows_to_batch(rows: list) -> pa.RecordBatch:
+    cols = list(zip(*rows))
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(cols[0], pa.int32()),
+            pa.array(cols[1], pa.string()),
+            pa.array(cols[2], pa.int32()),
+            pa.array(cols[3], pa.int32()),
+            pa.array(cols[4], pa.int64()),
+            pa.array(cols[5], pa.int64()),
+            pa.array(cols[6], pa.float64()),
+            pa.array(cols[7], pa.binary()),
+            pa.array(cols[8], pa.binary()),
+            pa.array(cols[9], pa.binary()),
+        ],
+        schema=BLOCK_SCHEMA_PA,
+    )
+
+
+def decode_block(docid_first: int, docs: bytes, tfs: bytes, dls: bytes):
+    gaps = varint_decode(docs)
+    docids = np.cumsum(gaps.astype(np.int64)) + docid_first
+    return docids, varint_decode(tfs).astype(np.int64), varint_decode(dls).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# segment build + merge jobs
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SegmentIndex:
+    blocks: DataFrame
+    dictionary: DataFrame  # (term, df, idf)
+    stats: CorpusStats
+    config: BM25Config
+
+    @property
+    def avgdl_effective(self) -> float:
+        return self.stats.avgdl if self.config.use_avgdl else 1.0
+
+
+def build_segments(
+    index: InvertedIndex,
+    num_partitions: int | None = None,
+) -> SegmentIndex:
+    """postings → salted repartition → sorted per-partition segment blocks.
+
+    The result is PRE-MERGE: a hot (salted) term's posting list spans several
+    partitions, so its blocks overlap in docid range. ``merge_segments``
+    produces the canonical single-run-per-term form; queries must use the
+    merged index (WAND block skipping assumes per-term blocks are
+    docid-ordered and disjoint)."""
+    cfg = index.config
+    spark = index.postings.sparkSession
+    num_partitions = num_partitions or max(
+        spark.sparkContext.defaultParallelism, cfg.term_buckets // 4
+    )
+    k1, b = cfg.k1, cfg.b
+    avgdl = index.avgdl_effective
+    block_size = cfg.block_size
+    n_buckets = cfg.term_buckets
+
+    # tiny table of skew-driving terms (stopword-like code tokens): df above
+    # threshold → salt postings across max_salt shards. Broadcast — it is
+    # small by construction (only the df head).
+    hot = index.dictionary.filter(F.col("df") > cfg.salt_threshold_df).select(
+        "term", F.lit(cfg.max_salt).alias("n_salt")
+    )
+    p = index.postings.join(F.broadcast(hot), "term", "left")
+    p = p.withColumn(
+        "salt",
+        F.when(
+            F.col("n_salt").isNotNull(),
+            F.pmod(F.xxhash64("docid"), F.col("n_salt")),
+        ).otherwise(F.lit(0)),
+    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+
+    parted = p.repartition(num_partitions, "bucket", "term", "salt").sortWithinPartitions(
+        "term", "docid"
+    )
+
+    def write_blocks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        cur_term = None
+        cur_bucket = 0
+        bufs: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        rows: list = []
+
+        def flush_term():
+            if cur_term is None or not bufs:
+                return
+            d = np.concatenate([x[0] for x in bufs])
+            t = np.concatenate([x[1] for x in bufs])
+            l_ = np.concatenate([x[2] for x in bufs])
+            _emit_term_blocks(
+                cur_bucket, cur_term, d, t, l_, block_size, k1, b, avgdl, rows
+            )
+            bufs.clear()
+
+        for batch in batches:
+            terms = batch.column("term").to_pylist()
+            docids = batch.column("docid").to_numpy(zero_copy_only=False)
+            tfs = batch.column("tf").to_numpy(zero_copy_only=False)
+            dls = batch.column("dl").to_numpy(zero_copy_only=False)
+            buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+            # find term-run boundaries within the batch (input sorted by term)
+            i = 0
+            nrows = len(terms)
+            while i < nrows:
+                j = i + 1
+                while j < nrows and terms[j] == terms[i]:
+                    j += 1
+                if terms[i] != cur_term:
+                    flush_term()
+                    cur_term = terms[i]
+                    cur_bucket = int(buckets[i])
+                bufs.append((docids[i:j], tfs[i:j], dls[i:j]))
+                i = j
+            if len(rows) >= 4096:
+                yield _rows_to_batch(rows)
+                rows = []
+        flush_term()
+        if rows:
+            yield _rows_to_batch(rows)
+
+    blocks = parted.mapInArrow(write_blocks, BLOCK_SCHEMA_DDL)
+    return SegmentIndex(
+        blocks=blocks, dictionary=index.dictionary, stats=index.stats, config=cfg
+    )
+
+
+def merge_segments(seg: SegmentIndex) -> SegmentIndex:
+    """Log-structured merge (the ``--optimize`` analog): per bucket, k-way
+    merge every term's block runs by docid and rewrite canonical blocks.
+    applyInArrow per bucket — bucket count bounds task memory."""
+    cfg = seg.config
+    k1, b = cfg.k1, cfg.b
+    avgdl = seg.avgdl_effective
+    block_size = cfg.block_size
+
+    def merge_bucket(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        per_term: dict[str, list] = {}
+        bucket_of: dict[str, int] = {}
+        for batch in batches:
+            tbl = batch
+            terms = tbl.column("term").to_pylist()
+            firsts = tbl.column("docid_first").to_pylist()
+            docs = tbl.column("docs").to_pylist()
+            tfs = tbl.column("tfs").to_pylist()
+            dls = tbl.column("dls").to_pylist()
+            buckets = tbl.column("bucket").to_pylist()
+            for i, term in enumerate(terms):
+                per_term.setdefault(term, []).append((firsts[i], docs[i], tfs[i], dls[i]))
+                bucket_of[term] = buckets[i]
+        rows: list = []
+        for term in sorted(per_term):
+            parts = [decode_block(f, d, t, l_) for f, d, t, l_ in per_term[term]]
+            d = np.concatenate([x[0] for x in parts])
+            t = np.concatenate([x[1] for x in parts])
+            l_ = np.concatenate([x[2] for x in parts])
+            order = np.argsort(d, kind="stable")
+            _emit_term_blocks(
+                bucket_of[term], term, d[order], t[order], l_[order],
+                block_size, k1, b, avgdl, rows,
+            )
+            if len(rows) >= 4096:
+                yield _rows_to_batch(rows)
+                rows = []
+        if rows:
+            yield _rows_to_batch(rows)
+
+    merged = (
+        seg.blocks.repartition(cfg.term_buckets, "bucket")
+        .mapInArrow(merge_bucket, BLOCK_SCHEMA_DDL)
+    )
+    return SegmentIndex(
+        blocks=merged, dictionary=seg.dictionary, stats=seg.stats, config=cfg
+    )
+
+
+# ---------------------------------------------------------------------------
+# persistence
+# ---------------------------------------------------------------------------
+
+
+def save_segments(seg: SegmentIndex, root: str) -> None:
+    seg.blocks.write.mode("overwrite").partitionBy("bucket").parquet(f"{root}/blocks")
+    seg.dictionary.write.mode("overwrite").parquet(f"{root}/dictionary")
+    os.makedirs(root, exist_ok=True)
+    with open(f"{root}/meta.json", "w") as f:
+        json.dump(
+            {
+                "n_docs": seg.stats.n_docs,
+                "avgdl": seg.stats.avgdl,
+                "k1": seg.config.k1,
+                "b": seg.config.b,
+                "use_avgdl": seg.config.use_avgdl,
+                "block_size": seg.config.block_size,
+                "term_buckets": seg.config.term_buckets,
+            },
+            f,
+        )
+
+
+def load_segments(spark: SparkSession, root: str) -> SegmentIndex:
+    with open(f"{root}/meta.json") as f:
+        meta = json.load(f)
+    cfg = BM25Config(
+        k1=meta["k1"],
+        b=meta["b"],
+        use_avgdl=meta["use_avgdl"],
+        block_size=meta["block_size"],
+        term_buckets=meta["term_buckets"],
+    )
+    return SegmentIndex(
+        blocks=spark.read.parquet(f"{root}/blocks"),
+        dictionary=spark.read.parquet(f"{root}/dictionary"),
+        stats=CorpusStats(n_docs=meta["n_docs"], avgdl=meta["avgdl"]),
+        config=cfg,
+    )

@@ -1,0 +1,300 @@
+"""Query execution over the compressed segment index: exact decode-and-score
+and score-safe Block-Max WAND (BMW) pruning — both inside vectorized Arrow
+kernels (no per-row Python in Spark's row pipeline).
+
+Physical plan:
+    queries → (qid, term, qtf) → broadcast-join dictionary → tiny
+    (qid, term, qtf, idf) artifact → broadcast-join segment blocks on term
+    (Catalyst pushes the term filter into the parquet scan; bucket partition
+    pruning applies when the block table is partitioned by bucket)
+    → repartition by qid (moves only the COMPRESSED blocks of query terms)
+    → mapInArrow per-query scorer → (qid, docid, score, rank ≤ k).
+
+WAND here is *score-safe*: it skips a block only when the sum of block-max
+upper bounds of the terms that could cover the pivot docid cannot beat the
+current top-k threshold, so top-k results are identical to the exact path
+(tested). The reference has no WAND (its Lucene engine applies BMW
+internally without changing top-k — the same contract we enforce;
+SURVEY §2.5 / §4).
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flagembedding_spark.operators.query import query_terms
+from flagembedding_spark.operators.segments import SegmentIndex, decode_block
+
+RESULT_DDL = "qid string, docid long, score double, rank int"
+_RESULT_PA = pa.schema(
+    [
+        pa.field("qid", pa.string()),
+        pa.field("docid", pa.int64()),
+        pa.field("score", pa.float64()),
+        pa.field("rank", pa.int32()),
+    ]
+)
+
+
+def _topk_rows(qid: str, docids: np.ndarray, scores: np.ndarray, k: int):
+    """Deterministic (score DESC, docid ASC) top-k."""
+    if docids.size == 0:
+        return []
+    k = min(k, docids.size)
+    # partial select then exact sort (the reference's argpartition+sort shape,
+    # modeling_bm25.py:230-235, with deterministic tie-break). Candidates =
+    # every doc scoring >= the kth score, so docid ties at the boundary
+    # resolve identically to a full sort.
+    if docids.size > k:
+        kth = np.partition(scores, docids.size - k)[docids.size - k]
+        cand = np.nonzero(scores >= kth)[0]
+    else:
+        cand = np.arange(docids.size)
+    order = sorted(cand.tolist(), key=lambda i: (-scores[i], docids[i]))[:k]
+    return [
+        (qid, int(docids[i]), float(scores[i]), r + 1) for r, i in enumerate(order)
+    ]
+
+
+class _TermCursor:
+    """Block-level cursor over one term's merged (docid-ordered, disjoint)
+    block list, with lazy decode."""
+
+    __slots__ = (
+        "weight", "firsts", "lasts", "ubs", "blocks", "bi", "pos",
+        "cur_docids", "cur_scores", "max_ub",
+    )
+
+    def __init__(self, weight, firsts, lasts, ubs, blocks):
+        order = np.argsort(firsts, kind="stable")
+        self.weight = weight
+        self.firsts = firsts[order]
+        self.lasts = lasts[order]
+        self.ubs = ubs[order] * weight
+        self.blocks = [blocks[i] for i in order]
+        self.max_ub = float(self.ubs.max()) if len(self.ubs) else 0.0
+        self.bi = 0
+        self.pos = 0
+        self.cur_docids = None
+        self.cur_scores = None
+
+    def exhausted(self) -> bool:
+        return self.bi >= len(self.blocks)
+
+    def _ensure_decoded(self):
+        if self.cur_docids is None:
+            f, docs, tfs, dls, k1, b, avgdl = self.blocks[self.bi]
+            d, t, l_ = decode_block(f, docs, tfs, dls)
+            tf = t.astype(np.float64)
+            dl = l_.astype(np.float64)
+            self.cur_docids = d
+            self.cur_scores = self.weight * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    def doc(self) -> int:
+        """Current docid (next posting ≥ previous advance target)."""
+        self._ensure_decoded()
+        return int(self.cur_docids[self.pos])
+
+    def block_ub(self) -> float:
+        return float(self.ubs[self.bi])
+
+    def score(self) -> float:
+        self._ensure_decoded()
+        return float(self.cur_scores[self.pos])
+
+    def advance_to(self, target: int) -> None:
+        """Move to first posting with docid ≥ target (block-level skip without
+        decoding skipped blocks)."""
+        while self.bi < len(self.blocks):
+            if self.lasts[self.bi] < target:
+                self.bi += 1
+                self.pos = 0
+                self.cur_docids = None
+                self.cur_scores = None
+                continue
+            self._ensure_decoded()
+            self.pos += int(
+                np.searchsorted(self.cur_docids[self.pos:], target, side="left")
+            )
+            if self.pos >= self.cur_docids.size:
+                self.bi += 1
+                self.pos = 0
+                self.cur_docids = None
+                self.cur_scores = None
+                continue
+            return
+        # exhausted
+
+    def next_posting(self) -> None:
+        self.advance_to(self.doc() + 1)
+
+
+def _wand_query(qid: str, term_blocks: dict, k: int):
+    """Score-safe block-max WAND over one query's term cursors."""
+    cursors = [ _TermCursor(*v) for v in term_blocks.values() ]
+    for c in cursors:
+        c.advance_to(0)
+    cursors = [c for c in cursors if not c.exhausted()]
+    heap: list[tuple[float, int]] = []  # (score, -docid) min-heap of top-k
+    theta = 0.0
+
+    while cursors:
+        cursors = [c for c in cursors if not c.exhausted()]
+        if not cursors:
+            break
+        cursors.sort(key=lambda c: c.doc())
+        # pivot: first prefix whose *global* term UBs could still reach theta.
+        # Comparisons are >= so score-ties at theta are never pruned — docid
+        # tie-break then matches the exact path bit-for-bit.
+        acc = 0.0
+        pivot_idx = -1
+        for i, c in enumerate(cursors):
+            acc += c.max_ub
+            if acc >= theta or len(heap) < k:
+                pivot_idx = i
+                break
+        if pivot_idx == -1:
+            break  # nothing can beat theta
+        pivot_doc = cursors[pivot_idx].doc()
+        if cursors[0].doc() == pivot_doc:
+            # all cursors up to pivot are aligned on pivot_doc → block-max check
+            block_ub = 0.0
+            for c in cursors:
+                if c.doc() > pivot_doc:
+                    break
+                block_ub += c.block_ub()
+            if block_ub >= theta or len(heap) < k:
+                s = 0.0
+                for c in cursors:
+                    if c.exhausted():
+                        continue
+                    if c.doc() == pivot_doc:
+                        s += c.score()
+                for c in cursors:
+                    if not c.exhausted() and c.doc() == pivot_doc:
+                        c.next_posting()
+                item = (s, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                    if len(heap) == k:
+                        theta = heap[0][0]
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+                    theta = heap[0][0]
+            else:
+                # safe skip: advance the aligned cursors past this doc
+                for c in cursors:
+                    if not c.exhausted() and c.doc() == pivot_doc:
+                        c.next_posting()
+        else:
+            # advance one lagging cursor to the pivot
+            cursors[0].advance_to(pivot_doc)
+
+    out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    return [(qid, -nd, s, r + 1) for r, (s, nd) in enumerate(out)]
+
+
+def _exact_query(qid: str, term_blocks: dict, k: int):
+    """Exact path: decode every block of every query term, vectorized
+    accumulate, top-k."""
+    all_d, all_s = [], []
+    for weight, firsts, lasts, ubs, blocks in term_blocks.values():
+        for f, docs, tfs, dls, k1, b, avgdl in blocks:
+            d, t, l_ = decode_block(f, docs, tfs, dls)
+            tf = t.astype(np.float64)
+            dl = l_.astype(np.float64)
+            all_d.append(d)
+            all_s.append(weight * tf / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+    if not all_d:
+        return []
+    d = np.concatenate(all_d)
+    s = np.concatenate(all_s)
+    uniq, inv = np.unique(d, return_inverse=True)
+    acc = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(acc, inv, s)
+    return _topk_rows(qid, uniq, acc, k)
+
+
+def wand_topk(
+    seg: SegmentIndex,
+    queries: DataFrame,
+    k: int = 10,
+    use_wand: bool = True,
+    qid_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """Top-k BM25 over the merged segment index. ``use_wand=False`` runs the
+    exact decode-everything path; both must return identical top-k."""
+    cfg = seg.config
+    k1, b = cfg.k1, cfg.b
+    avgdl = seg.avgdl_effective
+    spark = queries.sparkSession
+
+    qt = query_terms(queries, qid_col, query_col)
+    qt_idf = seg.dictionary.join(F.broadcast(qt), "term").select(
+        "qid", "term", "qtf", "idf"
+    )
+    cand = seg.blocks.join(F.broadcast(qt_idf), "term").withColumn(
+        "w", F.col("qtf") * F.col("idf") * F.lit(k1 + 1.0)
+    )
+    cand = cand.repartition("qid")
+
+    kk = k
+    use_w = use_wand
+
+    def score_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        per_q: dict[str, dict] = {}
+        for batch in batches:
+            qids = batch.column("qid").to_pylist()
+            terms = batch.column("term").to_pylist()
+            ws = batch.column("w").to_pylist()
+            firsts = batch.column("docid_first").to_pylist()
+            lasts = batch.column("docid_last").to_pylist()
+            ubs = batch.column("max_tfn").to_pylist()
+            docs = batch.column("docs").to_pylist()
+            tfs = batch.column("tfs").to_pylist()
+            dls = batch.column("dls").to_pylist()
+            for i, q in enumerate(qids):
+                tb = per_q.setdefault(q, {})
+                ent = tb.setdefault(terms[i], [ws[i], [], [], [], []])
+                ent[1].append(firsts[i])
+                ent[2].append(lasts[i])
+                ent[3].append(ubs[i])
+                ent[4].append((firsts[i], docs[i], tfs[i], dls[i], k1, b, avgdl))
+        rows = []
+        for q, tb in per_q.items():
+            packed = {
+                t: (
+                    e[0],
+                    np.asarray(e[1], dtype=np.int64),
+                    np.asarray(e[2], dtype=np.int64),
+                    np.asarray(e[3], dtype=np.float64),
+                    e[4],
+                )
+                for t, e in tb.items()
+            }
+            rows.extend(
+                _wand_query(q, packed, kk) if use_w else _exact_query(q, packed, kk)
+            )
+        if rows:
+            cols = list(zip(*rows))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols[0], pa.string()),
+                    pa.array(cols[1], pa.int64()),
+                    pa.array(cols[2], pa.float64()),
+                    pa.array(cols[3], pa.int32()),
+                ],
+                schema=_RESULT_PA,
+            )
+
+    return cand.select(
+        "qid", "term", "w", "docid_first", "docid_last", "max_tfn",
+        "docs", "tfs", "dls",
+    ).mapInArrow(score_partition, RESULT_DDL)

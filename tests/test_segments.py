@@ -1,0 +1,184 @@
+"""Segment index: varint codec, block roundtrip, salting invariance, merge
+equivalence, and WAND-vs-exact / WAND-vs-DataFrame parity."""
+
+import math
+
+import numpy as np
+import pytest
+
+from flagembedding_spark.config import BM25Config
+from flagembedding_spark.operators.index_build import build_index
+from flagembedding_spark.operators.query import bm25_topk
+from flagembedding_spark.operators.segments import (
+    build_segments,
+    decode_block,
+    merge_segments,
+    varint_decode,
+    varint_encode,
+)
+from flagembedding_spark.operators.wand import wand_topk
+
+
+# ---------------------------------------------------------------------------
+# codec
+# ---------------------------------------------------------------------------
+
+def test_varint_roundtrip_edges():
+    vals = np.array(
+        [0, 1, 127, 128, 129, 16383, 16384, 2**31, 2**32, 2**53, 2**63, 2**64 - 1],
+        dtype=np.uint64,
+    )
+    assert np.array_equal(varint_decode(varint_encode(vals)), vals)
+
+
+def test_varint_roundtrip_random():
+    rng = np.random.default_rng(7)
+    for scale in (100, 10_000, 2**40):
+        vals = rng.integers(0, scale, size=5000, dtype=np.uint64)
+        assert np.array_equal(varint_decode(varint_encode(vals)), vals)
+
+
+def test_varint_empty():
+    assert varint_encode(np.empty(0, dtype=np.uint64)) == b""
+    assert varint_decode(b"").size == 0
+
+
+def test_varint_compression_ratio():
+    # typical small gaps should take ~1 byte each
+    gaps = np.full(1000, 3, dtype=np.uint64)
+    assert len(varint_encode(gaps)) == 1000
+
+
+# ---------------------------------------------------------------------------
+# segments
+# ---------------------------------------------------------------------------
+
+CFG = BM25Config(k1=1.2, b=0.75, use_avgdl=True, block_size=16,
+                 salt_threshold_df=50, max_salt=4, term_buckets=8)
+
+
+@pytest.fixture(scope="module")
+def index(tiny_corpus):
+    return build_index(tiny_corpus, CFG)
+
+
+@pytest.fixture(scope="module")
+def merged(index):
+    return merge_segments(build_segments(index, num_partitions=6))
+
+
+def _postings_from_blocks(seg):
+    out = {}
+    for r in seg.blocks.collect():
+        d, t, l_ = decode_block(r["docid_first"], bytes(r["docs"]),
+                                bytes(r["tfs"]), bytes(r["dls"]))
+        out.setdefault(r["term"], []).append(
+            (r["block_ord"], d.tolist(), t.tolist(), l_.tolist())
+        )
+    return out
+
+
+def test_merged_blocks_reconstruct_postings(index, merged):
+    want = {}
+    for r in index.postings.collect():
+        want.setdefault(r["term"], []).append((r["docid"], r["tf"], r["dl"]))
+    for term in want:
+        want[term].sort()
+
+    got = {}
+    by_term = _postings_from_blocks(merged)
+    for term, blocks in by_term.items():
+        blocks.sort()
+        rows = []
+        for _, d, t, l_ in blocks:
+            rows.extend(zip(d, t, l_))
+        got[term] = rows
+    assert got == want
+
+
+def test_merged_blocks_sorted_disjoint(merged):
+    by_term = {}
+    for r in merged.blocks.collect():
+        by_term.setdefault(r["term"], []).append(
+            (r["block_ord"], r["docid_first"], r["docid_last"], r["n"])
+        )
+    for term, blocks in by_term.items():
+        blocks.sort()
+        # block_ord contiguous from 0
+        assert [b[0] for b in blocks] == list(range(len(blocks)))
+        for i in range(1, len(blocks)):
+            assert blocks[i][1] > blocks[i - 1][2], term  # disjoint, ordered
+        for _, f, l_, n in blocks:
+            assert f <= l_ and 1 <= n <= CFG.block_size
+
+
+def test_block_max_is_upper_bound(merged):
+    k1, b = CFG.k1, CFG.b
+    avgdl = merged.avgdl_effective
+    for r in merged.blocks.collect():
+        d, t, l_ = decode_block(r["docid_first"], bytes(r["docs"]),
+                                bytes(r["tfs"]), bytes(r["dls"]))
+        tfn = t.astype(float) / (t + k1 * (1 - b + b * l_.astype(float) / avgdl))
+        assert tfn.max() <= r["max_tfn"] + 1e-12
+
+
+def test_salting_invariance(index):
+    """salt=1 (threshold huge) vs aggressive salting → identical final index."""
+    cfg_nosalt = BM25Config(k1=1.2, b=0.75, block_size=16,
+                            salt_threshold_df=10**9, max_salt=1, term_buckets=8)
+    # same underlying index, different salting configs at segment build time
+    import dataclasses
+
+    seg_salted = merge_segments(build_segments(index, num_partitions=6))
+    unsalted_index = dataclasses.replace(index, config=cfg_nosalt)
+    seg_plain = merge_segments(build_segments(unsalted_index, num_partitions=3))
+
+    a = _postings_from_blocks(seg_salted)
+    b_ = _postings_from_blocks(seg_plain)
+    canon = lambda m: {  # noqa: E731
+        t: sorted((o, tuple(d), tuple(x), tuple(l2)) for o, d, x, l2 in v)
+        for t, v in m.items()
+    }
+    assert canon(a) == canon(b_)
+
+
+# ---------------------------------------------------------------------------
+# WAND query path
+# ---------------------------------------------------------------------------
+
+def _canon(rows, ndigits=9):
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append((round(r["score"], ndigits), r["docid"]))
+    return {q: sorted(v, key=lambda x: (-x[0], x[1])) for q, v in by_qid.items()}
+
+
+def test_wand_equals_exact(merged, tiny_queries):
+    w = wand_topk(merged, tiny_queries, k=10, use_wand=True).collect()
+    e = wand_topk(merged, tiny_queries, k=10, use_wand=False).collect()
+    cw, ce = _canon(w), _canon(e)
+    assert set(cw) == set(ce)
+    for q in ce:
+        assert len(cw[q]) == len(ce[q]), q
+        for (ws, wd), (es, ed) in zip(cw[q], ce[q]):
+            assert math.isclose(ws, es, rel_tol=1e-9, abs_tol=1e-12), q
+            # docids must match except within float-tied levels
+        lw = {}
+        le = {}
+        for s, d in cw[q]:
+            lw.setdefault(round(s, 6), set()).add(d)
+        for s, d in ce[q]:
+            le.setdefault(round(s, 6), set()).add(d)
+        assert lw == le, q
+
+
+def test_wand_equals_dataframe_engine(index, merged, tiny_queries):
+    seg_rows = wand_topk(merged, tiny_queries, k=10, use_wand=True).collect()
+    df_rows = bm25_topk(index, tiny_queries, k=10).collect()
+    cs, cd = _canon(seg_rows, 6), _canon(df_rows, 6)
+    assert cs == cd
+
+
+def test_wand_oov_query(merged, spark):
+    q = spark.createDataFrame([("qx", "zz_never_seen zz_nope")], ["query_id", "query"])
+    assert wand_topk(merged, q, k=10).count() == 0
