@@ -30,11 +30,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from flagembedding_spark.entries import SPARK_ENTRIES
+    from flagembedding_spark.entries_pipeline import PIPELINE_ENTRIES
 
-    return dict(SPARK_ENTRIES)
+    return {**SPARK_ENTRIES, **PIPELINE_ENTRIES}
 
 
 def oracle_sql() -> dict[str, str]:
     from flagembedding_spark.entries import ORACLE_SQL
+    from flagembedding_spark.entries_pipeline import PIPELINE_ORACLE_SQL
 
-    return dict(ORACLE_SQL)
+    return {**ORACLE_SQL, **PIPELINE_ORACLE_SQL}

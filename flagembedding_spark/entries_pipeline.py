@@ -1,0 +1,590 @@
+"""Driver entries for the training-data pipeline operators (dedup, similarity
+search, text analysis, metrics, fusion, mining) + their DuckDB oracle SQL.
+
+Shared cross-engine conventions (see entries.py / functions/hashing.py):
+60-bit md5-prefix base hash, P = 2^31-1 modular arithmetic, round-before-rank
+for float-derived orderings, docid tie-breaks everywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flagembedding_spark.config import BM25Config
+from flagembedding_spark.entries import (
+    B,
+    K1,
+    QUERY_SET,
+    TOPK,
+    _docs,
+    _queries_df,
+    bm25_sql,
+    build_doc_index,
+)
+from flagembedding_spark.functions.hashing import (
+    MERSENNE_P,
+    md5_prefix_long_sql,
+    minhash_params,
+)
+from flagembedding_spark.operators.query import bm25_topk
+
+P = MERSENNE_P
+JACCARD_T = 0.5
+COS_NEARDUP_T = 0.45
+N_PERMS = 8
+STOP_EN = ("the", "and", "of", "to", "a", "in", "is", "it")
+MAX_TOKENS_BOUND = 4096  # constant index-table bound for DuckDB shingling
+
+# deterministic pseudo-qrels rule shared by Spark and SQL:
+#   relevant(qid_i, doc) ⇔ doc_id % 29 == i % 29 ; relevance = doc_id % 3 + 1
+QREL_MOD = 29
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _pseudo_qrels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id")
+    qmap = spark.createDataFrame(
+        [(qid, i) for i, (qid, _) in enumerate(QUERY_SET)], ["qid", "qidx"]
+    )
+    return (
+        docs.crossJoin(F.broadcast(qmap))
+        .filter(F.col("doc_id") % QREL_MOD == F.col("qidx") % QREL_MOD)
+        .select(
+            "qid",
+            F.col("doc_id").alias("docid"),
+            (F.col("doc_id") % 3 + 1).cast("int").alias("relevance"),
+        )
+    )
+
+
+def _qmap_values() -> str:
+    rows = ", ".join(f"('{qid}', {i})" for i, (qid, _) in enumerate(QUERY_SET))
+    return f"(VALUES {rows}) AS qm(qid, qidx)"
+
+
+_QRELS_SQL = f"""
+qrels AS (
+  SELECT qm.qid AS qid, d.doc_id AS docid,
+         CAST(d.doc_id % 3 + 1 AS INT) AS relevance
+  FROM documents d CROSS JOIN {_qmap_values()}
+  WHERE d.doc_id % {QREL_MOD} = qm.qidx % {QREL_MOD}
+)
+"""
+
+_SHINGLES_SQL = f"""
+tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+idx AS (SELECT unnest(generate_series(1, {MAX_TOKENS_BOUND})) AS i),
+sh AS (
+  SELECT DISTINCT doc_id AS id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM tt JOIN idx ON idx.i <= len(toks) - 2
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_T)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), n_perms=N_PERMS)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=COS_NEARDUP_T)
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH pipeline. Because candidates are verified with EXACT
+    Jaccard and the band S-curve at (16 perms, 8 bands) catches everything at
+    j ≥ 0.5 on this corpus, the oracle is the same as exact ngram_jaccard."""
+    from flagembedding_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(
+        _docs(spark, sf_dir), threshold=JACCARD_T, n_perms=16, bands=8
+    )
+
+
+def _jaccard_sql() -> str:
+    return f"""
+WITH {_SHINGLES_SQL.strip()},
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (x.sz + y.sz - i), 6) AS jaccard
+FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= {JACCARD_T}
+"""
+
+
+def _minhash_sql() -> str:
+    params = minhash_params(N_PERMS)
+    perm_rows = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(params))
+    base = md5_prefix_long_sql("shingle")
+    return f"""
+WITH {_SHINGLES_SQL.strip()},
+perms(perm, a, b) AS (VALUES {perm_rows})
+SELECT sh.id AS id, perms.perm AS perm,
+       min((perms.a * ({base} % {P}) + perms.b) % {P}) AS minhash
+FROM sh CROSS JOIN perms
+GROUP BY 1, 2
+"""
+
+
+def _simhash_sql() -> str:
+    h = md5_prefix_long_sql("term")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+bits AS (SELECT unnest(generate_series(0, 59)) AS k),
+votes AS (
+  SELECT doc_id, k,
+         sum(CASE WHEN ({h} >> k) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM tf CROSS JOIN bits GROUP BY 1, 2
+)
+SELECT doc_id AS id,
+       CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY 1
+"""
+
+
+_EMB_NORM_SQL = f"""
+v AS (SELECT vec_id, embedding AS e FROM embeddings),
+di AS (SELECT unnest(generate_series(1, 64)) AS i),
+nrm AS (
+  SELECT vec_id, sqrt(sum(CAST(e[i] AS DOUBLE) * CAST(e[i] AS DOUBLE))) AS n
+  FROM v CROSS JOIN di GROUP BY vec_id
+)
+"""
+
+
+def _embedding_neardup_sql() -> str:
+    return f"""
+WITH {_EMB_NORM_SQL.strip()},
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         sum(CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)) AS d
+  FROM v a JOIN v b ON a.vec_id < b.vec_id CROSS JOIN di
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(d / (x.n * y.n), 4) AS cosine
+FROM dots JOIN nrm x ON id_a = x.vec_id JOIN nrm y ON id_b = y.vec_id
+WHERE d / (x.n * y.n) >= {COS_NEARDUP_T}
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+ANN_K, ANN_NQ = 5, 10
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.similarity import brute_force_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    return brute_force_cosine_topk(
+        emb.filter(F.col("vec_id") < ANN_NQ),
+        emb.filter(F.col("vec_id") >= ANN_NQ),
+        k=ANN_K,
+        method="sql",
+        round_scores=4,
+    )
+
+
+def _ann_sql() -> str:
+    return f"""
+WITH {_EMB_NORM_SQL.strip()},
+q AS (SELECT vec_id, e FROM v WHERE vec_id < {ANN_NQ}),
+c AS (SELECT vec_id, e FROM v WHERE vec_id >= {ANN_NQ}),
+dots AS (
+  SELECT q.vec_id AS qid, c.vec_id AS docid,
+         sum(CAST(q.e[i] AS DOUBLE) * CAST(c.e[i] AS DOUBLE)) AS d
+  FROM q CROSS JOIN c CROSS JOIN di GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, docid, round(d / (x.n * y.n), 4) AS cosine
+  FROM dots JOIN nrm x ON qid = x.vec_id JOIN nrm y ON docid = y.vec_id
+),
+ranked AS (
+  SELECT qid, docid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, docid ASC) AS rank
+  FROM scored
+)
+SELECT qid, docid, cosine, rank FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens_ws", "n_words", "n_tokens_distinct"
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "alnum_ratio", "stopword_ratio",
+        "distinct_ratio", "quality",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir)).select(
+        "doc_id", "fp_md5", "fp_roll"
+    )
+
+
+_TOKEN_COUNTS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+)
+SELECT d.doc_id AS doc_id,
+       len(string_split(d.text, ' ')) AS n_tokens_ws,
+       len(regexp_extract_all(d.text, '[A-Za-z0-9_]+')) AS n_words,
+       (SELECT count(DISTINCT t) FROM tok WHERE tok.doc_id = d.doc_id) AS n_tokens_distinct
+FROM documents d
+"""
+
+
+def _quality_sql() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOP_EN)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_tok,
+         count(DISTINCT t) AS n_distinct,
+         count(*) FILTER (t IN ({stop_list})) AS n_stop
+  FROM tok GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id,
+         a.n_tok,
+         CAST(length(regexp_replace(d.text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+           / greatest(length(d.text), 1) AS r_alnum,
+         CAST(a.n_stop AS DOUBLE) / greatest(a.n_tok, 1) AS r_stop,
+         CAST(a.n_distinct AS DOUBLE) / greatest(a.n_tok, 1) AS r_distinct,
+         least(greatest((a.n_tok - 5) / 15.0, 0.0), 1.0) AS s_len
+  FROM documents d JOIN agg a USING (doc_id)
+)
+SELECT doc_id, n_tok AS n_tokens,
+       round(r_alnum, 6) AS alnum_ratio,
+       round(r_stop, 6) AS stopword_ratio,
+       round(r_distinct, 6) AS distinct_ratio,
+       round((s_len + r_alnum + least(r_stop * 4.0, 1.0) + r_distinct) / 4.0, 6) AS quality
+FROM base
+"""
+
+
+def _lang_id_sql() -> str:
+    from flagembedding_spark.operators.textstats import LANG_STOPWORDS
+
+    hit_cols = []
+    for lg, ws in LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in ws)
+        hit_cols.append(f"count(*) FILTER (t IN ({lst})) AS h_{lg}")
+    langs = list(LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    whens = "".join(
+        f" WHEN h_{lg} = {best} THEN '{lg}'" for lg in langs
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+),
+hits AS (SELECT doc_id, {", ".join(hit_cols)} FROM tok GROUP BY doc_id)
+SELECT doc_id,
+       CASE WHEN {best} <= 0 THEN 'und'{whens} END AS lang_pred
+FROM hits
+"""
+
+
+def _fingerprint_sql() -> str:
+    base = md5_prefix_long_sql("toks[i]")
+    return f"""
+WITH RECURSIVE pw(j, p) AS (
+  SELECT 0, CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT j + 1, (p * 1000003) % {P} FROM pw WHERE j < {MAX_TOKENS_BOUND}
+),
+norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5
+  FROM documents
+),
+idx AS (SELECT unnest(generate_series(1, {MAX_TOKENS_BOUND})) AS i),
+terms AS (
+  SELECT doc_id, fp_md5, i, len(toks) AS n, ({base} % {P}) AS bh
+  FROM norm JOIN idx ON idx.i <= len(toks)
+)
+SELECT doc_id, any_value(fp_md5) AS fp_md5,
+       CAST(sum((bh * (SELECT p FROM pw WHERE j = n - i)) % {P}) % {P} AS BIGINT) AS fp_roll
+FROM terms GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# metrics / fusion / mining over the BM25 run
+# ---------------------------------------------------------------------------
+
+METRIC_KS = (5, 10)
+
+
+def q_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.metrics import ir_metrics
+
+    idx = build_doc_index(spark, sf_dir)
+    run = bm25_topk(idx, _queries_df(spark), k=TOPK, round_scores=4)
+    return ir_metrics(run, _pseudo_qrels(spark, sf_dir), k_values=list(METRIC_KS))
+
+
+def _ir_metrics_sql() -> str:
+    base = bm25_sql(K1, B, TOPK, use_avgdl=True).strip()
+    blocks = []
+    for k in METRIC_KS:
+        blocks.append(f"""
+SELECT 'mrr' AS metric, {k} AS k,
+  round(avg(coalesce(rr, 0.0)), 5) AS value FROM (
+    SELECT q.qid, 1.0 / min(r.rank) AS rr
+    FROM (SELECT DISTINCT qid FROM qrels) q
+    LEFT JOIN (SELECT b.qid, b.rank FROM base b JOIN qrels USING (qid, docid)
+               WHERE b.rank <= {k}) r ON q.qid = r.qid
+    GROUP BY q.qid)
+UNION ALL
+SELECT 'recall', {k}, round(avg(CAST(n_hit AS DOUBLE) / n_rel), 5) FROM (
+    SELECT q.qid,
+      (SELECT count(*) FROM base b JOIN qrels USING (qid, docid)
+        WHERE b.qid = q.qid AND b.rank <= {k}) AS n_hit,
+      (SELECT count(*) FROM qrels WHERE qrels.qid = q.qid) AS n_rel
+    FROM (SELECT DISTINCT qid FROM qrels) q)
+UNION ALL
+SELECT 'r_cap', {k}, round(avg(CAST(n_hit AS DOUBLE) / least(n_rel, {k})), 5) FROM (
+    SELECT q.qid,
+      (SELECT count(*) FROM base b JOIN qrels USING (qid, docid)
+        WHERE b.qid = q.qid AND b.rank <= {k}) AS n_hit,
+      (SELECT count(*) FROM qrels WHERE qrels.qid = q.qid) AS n_rel
+    FROM (SELECT DISTINCT qid FROM qrels) q)
+UNION ALL
+SELECT 'ndcg', {k}, round(avg(coalesce(dcg / nullif(idcg, 0), 0.0)), 5) FROM (
+    SELECT q.qid,
+      (SELECT sum(qr.relevance / log2(b.rank + 1)) FROM base b
+        JOIN qrels qr USING (qid, docid)
+        WHERE b.qid = q.qid AND b.rank <= {k}) AS dcg,
+      (SELECT sum(relevance / log2(irank + 1)) FROM (
+          SELECT relevance, row_number() OVER (
+            ORDER BY relevance DESC, docid ASC) AS irank
+          FROM qrels WHERE qrels.qid = q.qid) WHERE irank <= {k}) AS idcg
+    FROM (SELECT DISTINCT qid FROM qrels) q)
+UNION ALL
+SELECT 'precision', {k}, round(avg(CAST(n_hit AS DOUBLE) / {k}), 5) FROM (
+    SELECT q.qid,
+      (SELECT count(*) FROM base b JOIN qrels USING (qid, docid)
+        WHERE b.qid = q.qid AND b.rank <= {k}) AS n_hit
+    FROM (SELECT DISTINCT qid FROM qrels) q)
+""")
+    return f"WITH base AS ({base}), {_QRELS_SQL.strip()}\n" + "\nUNION ALL\n".join(blocks)
+
+
+FUSE_W_A, FUSE_W_B, FUSE_RUN_K = 0.3, 0.7, 50
+NAIVE_STD_K1, NAIVE_STD_B = 0.9, 0.4
+
+
+def q_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.hybrid import fuse_runs
+
+    idx_a = build_doc_index(spark, sf_dir, BM25Config(k1=K1, b=B))
+    idx_b = build_doc_index(
+        spark, sf_dir, BM25Config(k1=NAIVE_STD_K1, b=NAIVE_STD_B)
+    )
+    run_a = bm25_topk(idx_a, _queries_df(spark), k=FUSE_RUN_K, round_scores=4)
+    run_b = bm25_topk(idx_b, _queries_df(spark), k=FUSE_RUN_K, round_scores=4)
+    # 5dp: weighted sums of 4dp run scores are exact 5-decimal values, so
+    # rounding to 5 has no half-way boundary (4dp would — engines disagree)
+    return fuse_runs(
+        run_a, run_b, w_a=FUSE_W_A, w_b=FUSE_W_B, k=TOPK, round_scores=5
+    )
+
+
+def _fusion_sql() -> str:
+    run_a = bm25_sql(K1, B, FUSE_RUN_K, use_avgdl=True).strip()
+    run_b = bm25_sql(NAIVE_STD_K1, NAIVE_STD_B, FUSE_RUN_K, use_avgdl=True).strip()
+    return f"""
+WITH ra AS ({run_a}), rb AS ({run_b}),
+fused AS (
+  SELECT coalesce(ra.qid, rb.qid) AS qid,
+         coalesce(ra.docid, rb.docid) AS docid,
+         round(coalesce(ra.score, 0.0) * {FUSE_W_A}
+               + coalesce(rb.score, 0.0) * {FUSE_W_B}, 5) AS score
+  FROM ra FULL OUTER JOIN rb ON ra.qid = rb.qid AND ra.docid = rb.docid
+),
+rk AS (
+  SELECT qid, docid, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rank
+  FROM fused
+)
+SELECT qid, docid, score, rank FROM rk WHERE rank <= {TOPK}
+"""
+
+
+RERANK_K = 3
+
+
+def q_rerank_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.hybrid import rerank_pairs
+
+    idx = build_doc_index(spark, sf_dir)
+    run = bm25_topk(idx, _queries_df(spark), k=TOPK, round_scores=4)
+    return rerank_pairs(
+        run, _queries_df(spark), _docs(spark, sf_dir),
+        rerank_top_k=RERANK_K, docid_col="doc_id",
+    )
+
+
+def _rerank_sql() -> str:
+    base = bm25_sql(K1, B, TOPK, use_avgdl=True).strip()
+    qvals = ", ".join(f"('{q}', '{t}')" for q, t in QUERY_SET)
+    return f"""
+WITH base AS ({base}),
+qs(qid, query) AS (VALUES {qvals})
+SELECT b.qid AS qid, qs.query AS query, b.docid AS docid,
+       d.text AS text, b.rank AS rank
+FROM base b JOIN qs USING (qid) JOIN documents d ON b.docid = d.doc_id
+WHERE b.rank <= {RERANK_K}
+"""
+
+
+HN_RANGE = (3, 9)
+HN_N = 2
+HN_SEED = 42
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.hybrid import mine_hard_negatives
+
+    idx = build_doc_index(spark, sf_dir)
+    run = bm25_topk(idx, _queries_df(spark), k=TOPK, round_scores=4)
+    return mine_hard_negatives(
+        run, _pseudo_qrels(spark, sf_dir),
+        range_start=HN_RANGE[0], range_end=HN_RANGE[1],
+        n_negatives=HN_N, seed=HN_SEED,
+    )
+
+
+def _hard_negatives_sql() -> str:
+    base = bm25_sql(K1, B, TOPK, use_avgdl=True).strip()
+    pick = md5_prefix_long_sql(
+        f"qid || '|' || CAST(docid AS VARCHAR) || '|' || '{HN_SEED}'"
+    )
+    return f"""
+WITH base AS ({base}), {_QRELS_SQL.strip()},
+cand AS (
+  SELECT b.* FROM base b
+  WHERE b.rank >= {HN_RANGE[0]} AND b.rank < {HN_RANGE[1]}
+    AND NOT EXISTS (SELECT 1 FROM qrels q
+                    WHERE q.qid = b.qid AND q.docid = b.docid)
+),
+picked AS (
+  SELECT qid, docid, score, rank,
+         row_number() OVER (PARTITION BY qid ORDER BY {pick}, docid ASC) AS pick
+  FROM cand
+)
+SELECT qid, docid, score, rank FROM picked WHERE pick <= {HN_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+PIPELINE_ENTRIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_minhash_lsh": q_minhash_lsh_dedup,
+    "minhash_signatures": q_minhash_signatures,
+    "simhash": q_simhash,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "token_counts": q_token_counts,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ir_metrics": q_ir_metrics,
+    "hybrid_fusion": q_hybrid_fusion,
+    "rerank_pairs": q_rerank_pairs,
+    "hard_negatives": q_hard_negatives,
+}
+
+PIPELINE_ORACLE_SQL: dict[str, str] = {
+    "dedup_exact": """
+SELECT sha256(text) AS text_sha, count(*) AS dup_count, min(doc_id) AS keep_id
+FROM documents GROUP BY sha256(text)
+""",
+    "dedup_ngram_jaccard": _jaccard_sql(),
+    "dedup_minhash_lsh": _jaccard_sql(),  # LSH+verify == exact at this S-curve
+    "minhash_signatures": _minhash_sql(),
+    "simhash": _simhash_sql(),
+    "embedding_neardup": _embedding_neardup_sql(),
+    "ann_cosine_topk": _ann_sql(),
+    "token_counts": _TOKEN_COUNTS_SQL,
+    "quality_score": _quality_sql(),
+    "lang_id": _lang_id_sql(),
+    "doc_fingerprint": _fingerprint_sql(),
+    "ir_metrics": _ir_metrics_sql(),
+    "hybrid_fusion": _fusion_sql(),
+    "rerank_pairs": _rerank_sql(),
+    "hard_negatives": _hard_negatives_sql(),
+}

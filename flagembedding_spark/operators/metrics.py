@@ -1,0 +1,96 @@
+"""IR metric operators — the eval-harness contract
+(FlagEmbedding/abc/evaluation/utils.py):
+
+- MRR@k               utils.py:14-52   (sort desc, first relevant hit)
+- Recall@k            pytrec_eval `recall.k` via utils.py:95-147
+- capped recall R_cap@k  utils.py:56-91 (denominator min(#rel, k))
+- nDCG@k              trec_eval `ndcg_cut.k` semantics: linear gain
+                      rel/log2(rank+1), ideal from qrels sorted desc
+- P@k                 pytrec_eval `P.k`
+
+Means are over queries present in qrels, rounded to 5 decimals
+(utils.py:141-146). All computed as joins + windows + aggregations — one
+left join of results to qrels (J5) feeds every metric.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _ranked(results: DataFrame) -> DataFrame:
+    """(Re)assign deterministic 1-based ranks per qid: score DESC, docid ASC
+    (the reference sorts by score desc; docid tie-break is our canon)."""
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return results.select("qid", "docid", "score").withColumn(
+        "rank", F.row_number().over(w)
+    )
+
+
+def ir_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k_values: list[int] = (1, 3, 5, 10),
+    round_dp: int = 5,
+) -> DataFrame:
+    """→ (metric string, k int, value double), metrics ∈
+    {mrr, recall, r_cap, ndcg, precision}."""
+    spark = results.sparkSession
+    ranked = _ranked(results)
+
+    pos = qrels.filter(F.col("relevance") > 0)
+    # per-query relevant count + ideal gains (for idcg)
+    wq = Window.partitionBy("qid").orderBy(F.desc("relevance"), F.asc("docid"))
+    ideal = pos.withColumn("irank", F.row_number().over(wq))
+
+    hits = ranked.join(
+        pos.select("qid", "docid", "relevance"), ["qid", "docid"], "inner"
+    )
+
+    out = []
+    qids = pos.select("qid").distinct()
+    n_q = qids.count()
+    if n_q == 0:
+        return spark.createDataFrame([], "metric string, k int, value double")
+
+    for k in k_values:
+        hk = hits.filter(F.col("rank") <= k)
+
+        per_q = hk.groupBy("qid").agg(
+            F.min("rank").alias("first_hit"),
+            F.count("*").alias("n_hit"),
+            F.sum(F.col("relevance") / F.log2(F.col("rank") + 1)).alias("dcg"),
+        )
+        idcg = ideal.filter(F.col("irank") <= k).groupBy("qid").agg(
+            F.sum(F.col("relevance") / F.log2(F.col("irank") + 1)).alias("idcg")
+        )
+        nrel = pos.groupBy("qid").agg(F.count("*").alias("n_rel"))
+
+        full = (
+            qids.join(per_q, "qid", "left")
+            .join(idcg, "qid", "left")
+            .join(nrel, "qid", "left")
+            .select(
+                F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0)).alias("rr"),
+                F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+                F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)).alias("ndcg"),
+                F.col("n_rel"),
+            )
+        )
+        row = full.agg(
+            F.round(F.avg("rr"), round_dp).alias("mrr"),
+            F.round(F.avg(F.col("n_hit") / F.col("n_rel")), round_dp).alias("recall"),
+            F.round(
+                F.avg(F.col("n_hit") / F.least(F.col("n_rel"), F.lit(k))), round_dp
+            ).alias("r_cap"),
+            F.round(F.avg("ndcg"), round_dp).alias("ndcg"),
+            F.round(F.avg(F.col("n_hit") / F.lit(float(k))), round_dp).alias(
+                "precision"
+            ),
+        ).collect()[0]
+        for m in ("mrr", "recall", "r_cap", "ndcg", "precision"):
+            out.append((m, k, float(row[m])))
+
+    return spark.createDataFrame(out, "metric string, k int, value double")

@@ -1,0 +1,224 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute_force_cosine_topk: exact baseline. Two shapes:
+    * 'sql'   — pure JVM zip_with/aggregate expressions (oracle-matched form)
+    * 'numpy' — broadcast query matrix into mapInArrow, np.float64 GEMM per
+      batch (the fast path; identical math, vectorized)
+- lsh_cosine_topk: random-hyperplane LSH bucketing (signs of h·v) with
+  multi-probe, exact rescoring inside candidate buckets — the scale path:
+  the corpus is hashed once, queries probe matching buckets only.
+
+Hyperplanes are generated from a seeded RNG so signatures are deterministic.
+At 10^12 scale the corpus side is bucketed+partitioned by signature; a query
+touches (1 + multiprobe) buckets ≪ corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _norm(c: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def brute_force_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    qid_col: str = "vec_id",
+    cid_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scores: int | None = None,
+    method: str = "numpy",
+) -> DataFrame:
+    """→ (qid, docid, cosine, rank). Queries are broadcast (query set ≪
+    corpus); ranking is deterministic (cosine DESC, docid ASC)."""
+    if method == "numpy":
+        return _brute_numpy(queries, corpus, k, qid_col, cid_col, vec_col, round_scores)
+
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(cid_col).alias("docid"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "qid",
+        "docid",
+        (_dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cosine"),
+    )
+    if round_scores is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_scores))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("docid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "docid", "cosine", "rank")
+    )
+
+
+def _brute_numpy(queries, corpus, k, qid_col, cid_col, vec_col, round_scores):
+    """Broadcast the (small) query matrix; per Arrow batch of corpus vectors,
+    one float64 GEMM → per-partition top-k; final global top-k per query is a
+    tiny window over (#partitions × k × #queries) rows."""
+    qrows = queries.select(qid_col, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    spark = corpus.sparkSession
+    bqm = spark.sparkContext.broadcast(qm)
+    bqid = spark.sparkContext.broadcast(qids)
+
+    out_pa = pa.schema(
+        [
+            pa.field("qid", pa.int64()),
+            pa.field("docid", pa.int64()),
+            pa.field("cosine", pa.float64()),
+        ]
+    )
+
+    def gemm(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        Q = bqm.value
+        ids = bqid.value
+        for batch in batches:
+            docids = batch.column(0).to_numpy(zero_copy_only=False)
+            vecs = np.array(batch.column(1).to_pylist(), dtype=np.float64)
+            if vecs.size == 0:
+                continue
+            vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+            sims = Q @ vecs.T  # (nq, nc)
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            o_q, o_d, o_s = [], [], []
+            for qi in range(sims.shape[0]):
+                for ci in part[qi]:
+                    o_q.append(ids[qi])
+                    o_d.append(int(docids[ci]))
+                    o_s.append(float(sims[qi, ci]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_q, pa.int64()),
+                    pa.array(o_d, pa.int64()),
+                    pa.array(o_s, pa.float64()),
+                ],
+                schema=out_pa,
+            )
+
+    partial = corpus.select(
+        F.col(cid_col).cast("long").alias("docid"), F.col(vec_col).alias("v")
+    ).mapInArrow(gemm, "qid long, docid long, cosine double")
+    if round_scores is not None:
+        partial = partial.withColumn("cosine", F.round("cosine", round_scores))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("docid"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "docid", "cosine", "rank")
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    dim: int,
+    n_tables: int = 16,
+    planes_per_table: int = 4,
+    vec_col: str = "embedding",
+    seed: int = 271,
+) -> DataFrame:
+    """Multi-table hyperplane LSH: adds (table, sig) rows — one per table —
+    where ``sig`` packs the sign bits of that table's r seeded hyperplanes.
+    JVM-only: plane dot products are zip_with/aggregate against literal
+    arrays (constants, folded by Catalyst). L tables of r planes give
+    collision prob 1-(1-p^r)^L for per-plane agreement p = 1 - θ/π."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, planes_per_table, dim))
+    table_sigs = []
+    for t in range(n_tables):
+        sig = None
+        for i in range(planes_per_table):
+            arr = F.array(*[F.lit(float(x)) for x in planes[t, i]])
+            d = F.aggregate(
+                F.zip_with(F.col(vec_col), arr, lambda x, p: x.cast("double") * p),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            bit = F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            sig = bit if sig is None else (sig + bit)
+        table_sigs.append(
+            F.struct(F.lit(t).alias("table"), sig.cast("long").alias("sig"))
+        )
+    return df.select(
+        "*", F.explode(F.array(*table_sigs)).alias("_ts")
+    ).withColumns(
+        {"table": F.col("_ts.table"), "sig": F.col("_ts.sig")}
+    ).drop("_ts")
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_tables: int = 16,
+    planes_per_table: int = 4,
+    qid_col: str = "vec_id",
+    cid_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 271,
+) -> DataFrame:
+    """Approximate top-k: bucket corpus into L hash tables; a query probes its
+    bucket in each table; exact cosine rescoring on the candidate union (no
+    false positives in scores, only possible misses). At scale the corpus
+    side is materialized once, partitioned by (table, sig); queries touch
+    L buckets ≪ corpus."""
+    dim = len(corpus.select(vec_col).first()[0])
+    csig = hyperplane_signatures(
+        corpus.select(F.col(cid_col).alias("docid"), F.col(vec_col).alias("cv")),
+        dim, n_tables, planes_per_table, "cv", seed,
+    )
+    qsig = hyperplane_signatures(
+        queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("qv")),
+        dim, n_tables, planes_per_table, "qv", seed,
+    )
+    cand = (
+        csig.join(F.broadcast(qsig), ["table", "sig"])
+        .select("qid", "docid", "qv", "cv")
+        .dropDuplicates(["qid", "docid"])
+        .select(
+            "qid",
+            "docid",
+            (_dot("qv", "cv") / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("docid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "docid", "cosine", "rank")
+    )

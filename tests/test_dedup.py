@@ -1,0 +1,151 @@
+"""Dedup operators vs brute-force Python on planted near-duplicates."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from flagembedding_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_neardup_pairs,
+    token_shingles,
+)
+
+
+def _mk_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = []
+    # 0/1: exact duplicates; 2: near-dup of 0 (one token changed)
+    docs.append((0, base))
+    docs.append((1, base))
+    docs.append((2, base.replace("lazy", "sleepy")))
+    # 3: unrelated
+    docs.append((3, "completely different content about spark inverted index builds"))
+    # 4: near-dup of 3 (token appended)
+    docs.append((4, "completely different content about spark inverted index builds today"))
+    # 5: short doc (fewer than 3 tokens → no shingles)
+    docs.append((5, "tiny doc"))
+    return spark.createDataFrame(docs, ["doc_id", "text"])
+
+
+def _brute_jaccard(a: str, b: str, n=3):
+    sa = {" ".join(a.split(" ")[i:i + n]) for i in range(len(a.split(" ")) - n + 1)}
+    sb = {" ".join(b.split(" ")[i:i + n]) for i in range(len(b.split(" ")) - n + 1)}
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def test_exact_dedup(spark):
+    docs = _mk_docs(spark)
+    got = {r["text_sha"]: (r["dup_count"], r["keep_id"]) for r in exact_dedup(docs).collect()}
+    assert len(got) == 5  # 6 docs, one exact dup pair
+    assert (2, 0) in got.values()
+
+
+def test_shingles_match_brute(spark):
+    docs = _mk_docs(spark)
+    rows = token_shingles(docs).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["id"], set()).add(r["shingle"])
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for i, t in texts.items():
+        want = {" ".join(t.split(" ")[j:j + 3]) for j in range(len(t.split(" ")) - 2)}
+        assert got.get(i, set()) == want, i
+
+
+def test_ngram_jaccard_pairs(spark):
+    docs = _mk_docs(spark)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        j = _brute_jaccard(texts[a], texts[b])
+        if j >= 0.3:
+            want[(a, b)] = j
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_minhash_signature_matches_brute(spark):
+    from flagembedding_spark.functions.hashing import (
+        MERSENNE_P,
+        md5_prefix_long_py,
+        minhash_params,
+    )
+
+    docs = _mk_docs(spark)
+    sig = minhash_signatures(docs, n_perms=8).collect()
+    got = {(r["id"], r["perm"]): r["minhash"] for r in sig}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    params = minhash_params(8)
+    for i, t in texts.items():
+        toks = t.split(" ")
+        sh = {" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
+        if not sh:
+            assert all((i, p) not in got for p in range(8))
+            continue
+        bases = [md5_prefix_long_py(s) % MERSENNE_P for s in sh]
+        for p, (a, b) in enumerate(params):
+            want = min((a * h + b) % MERSENNE_P for h in bases)
+            assert got[(i, p)] == want, (i, p)
+
+
+def test_minhash_lsh_finds_planted_neardups(spark):
+    docs = _mk_docs(spark)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_dedup(docs, threshold=0.5, n_perms=16, bands=8).collect()}
+    assert (0, 1) in pairs  # exact dup always caught
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup
+    assert (3, 4) in pairs
+    assert all(3 not in p or 4 in p for p in pairs)  # no false pair with 0/1/2
+
+
+def test_lsh_no_false_positives_after_verify(spark):
+    docs = _mk_docs(spark)
+    verified = minhash_dedup(docs, threshold=0.5).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in verified:
+        assert _brute_jaccard(texts[r["id_a"]], texts[r["id_b"]]) >= 0.5
+
+
+def test_simhash_neardup(spark):
+    docs = _mk_docs(spark)
+    sims = simhash(docs).cache()
+    vals = {r["id"]: r["simhash"] for r in sims.collect()}
+    assert vals[0] == vals[1]  # identical docs → identical simhash
+    pairs = simhash_neardup_pairs(sims, max_hamming=8, prefix_bits=6).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((0, 1)) == 0
+    # near-dup of 0 should be within a few bits
+    assert (0, 2) in got
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),      # orthogonal
+        (3, [0.0, 0.999, 0.02]),   # near-dup of 2
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {(r["id_a"], r["id_b"]) for r in
+           embedding_neardup_pairs(df, threshold=0.95).collect()}
+    assert got == {(0, 1), (2, 3)}
+
+
+def test_lsh_candidates_superset_of_high_jaccard(spark):
+    """The LSH S-curve must catch everything the verifier keeps."""
+    docs = _mk_docs(spark)
+    sig = minhash_signatures(docs, n_perms=16)
+    cand = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sig, 16, 8).collect()}
+    verified = {(r["id_a"], r["id_b"]) for r in
+                minhash_dedup(docs, threshold=0.5, n_perms=16, bands=8).collect()}
+    assert verified <= cand

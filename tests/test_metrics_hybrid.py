@@ -1,0 +1,113 @@
+"""Metric operators vs hand-computed values; fusion / rerank-pairs /
+hard-negative mining semantics."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flagembedding_spark.operators.hybrid import (
+    fuse_runs,
+    mine_hard_negatives,
+    rerank_pairs,
+)
+from flagembedding_spark.operators.metrics import ir_metrics
+
+
+@pytest.fixture(scope="module")
+def run(spark):
+    # two queries; scores descending by construction
+    rows = [
+        ("q1", "d1", 5.0), ("q1", "d2", 4.0), ("q1", "d3", 3.0), ("q1", "d4", 2.0),
+        ("q2", "d5", 9.0), ("q2", "d1", 8.0), ("q2", "d6", 7.0),
+    ]
+    return spark.createDataFrame(rows, ["qid", "docid", "score"])
+
+
+@pytest.fixture(scope="module")
+def qrels(spark):
+    rows = [
+        ("q1", "d2", 2), ("q1", "d9", 1),            # d2 hit at rank 2; d9 missed
+        ("q2", "d5", 3), ("q2", "d6", 1), ("q2", "d7", 2),  # hits at 1 and 3
+    ]
+    return spark.createDataFrame(rows, ["qid", "docid", "relevance"])
+
+
+def test_ir_metrics_hand_checked(run, qrels):
+    got = {
+        (r["metric"], r["k"]): r["value"]
+        for r in ir_metrics(run, qrels, k_values=[3]).collect()
+    }
+    # MRR@3: q1 first hit rank2 -> 0.5 ; q2 rank1 -> 1.0 ; mean 0.75
+    assert got[("mrr", 3)] == 0.75
+    # Recall@3: q1 1/2 ; q2 2/3 ; mean = (0.5 + 0.666667)/2 = 0.58333
+    assert abs(got[("recall", 3)] - round((0.5 + 2 / 3) / 2, 5)) < 1e-9
+    # R_cap@3: denominators min(2,3)=2 and min(3,3)=3 — same as recall here
+    assert got[("r_cap", 3)] == got[("recall", 3)]
+    # precision@3: q1 1/3, q2 2/3 -> 0.5
+    assert got[("precision", 3)] == 0.5
+    # nDCG@3 (linear gain, log2(rank+1) discount):
+    dcg1 = 2 / math.log2(3)
+    idcg1 = 2 / math.log2(2) + 1 / math.log2(3)
+    dcg2 = 3 / math.log2(2) + 1 / math.log2(4)
+    idcg2 = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
+    want = round((dcg1 / idcg1 + dcg2 / idcg2) / 2, 5)
+    assert abs(got[("ndcg", 3)] - want) < 1e-9
+
+
+def test_ir_metrics_k1(run, qrels):
+    got = {
+        (r["metric"], r["k"]): r["value"]
+        for r in ir_metrics(run, qrels, k_values=[1]).collect()
+    }
+    assert got[("mrr", 1)] == 0.5       # only q2 hits at rank 1
+    assert got[("precision", 1)] == 0.5
+    assert got[("r_cap", 1)] == 0.5     # q1: 0/min(2,1); q2: 1/min(3,1)
+
+
+def test_fuse_runs(spark):
+    a = spark.createDataFrame(
+        [("q1", "d1", 10000.0), ("q1", "d2", 5000.0)], ["qid", "docid", "score"]
+    )
+    b = spark.createDataFrame(
+        [("q1", "d2", 0.9), ("q1", "d3", 0.8)], ["qid", "docid", "score"]
+    )
+    got = {
+        r["docid"]: (r["score"], r["rank"])
+        for r in fuse_runs(a, b, w_a=0.3, w_b=0.7, scale_a=10000.0, k=10).collect()
+    }
+    # d1: 1.0*0.3 = 0.3 ; d2: 0.5*0.3 + 0.9*0.7 = 0.78 ; d3: 0.8*0.7 = 0.56
+    assert abs(got["d2"][0] - 0.78) < 1e-12 and got["d2"][1] == 1
+    assert abs(got["d3"][0] - 0.56) < 1e-12 and got["d3"][1] == 2
+    assert abs(got["d1"][0] - 0.30) < 1e-12 and got["d1"][1] == 3
+
+
+def test_rerank_pairs(spark, run):
+    queries = spark.createDataFrame(
+        [("q1", "alpha query"), ("q2", "beta query")], ["query_id", "query"]
+    )
+    corpus = spark.createDataFrame(
+        [(f"d{i}", f"text {i}") for i in range(1, 10)], ["docid", "text"]
+    )
+    got = rerank_pairs(run, queries, corpus, rerank_top_k=2).collect()
+    assert len(got) == 4  # 2 per query
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["docid"], r["query"], r["text"]))
+    assert sorted(by_q["q1"])[0] == (1, "d1", "alpha query", "text 1")
+    assert sorted(by_q["q2"])[0] == (1, "d5", "beta query", "text 5")
+
+
+def test_mine_hard_negatives(spark):
+    rows = [("q1", f"d{i}", 100.0 - i) for i in range(1, 31)]
+    run = spark.createDataFrame(rows, ["qid", "docid", "score"])
+    pos = spark.createDataFrame([("q1", "d12"), ("q1", "d15")], ["qid", "docid"])
+    got = mine_hard_negatives(run, pos, range_start=10, range_end=25, n_negatives=5)
+    rows = got.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 10 <= r["rank"] < 25
+        assert r["docid"] not in ("d12", "d15")
+    # deterministic across invocations
+    again = mine_hard_negatives(run, pos, range_start=10, range_end=25, n_negatives=5)
+    assert sorted(r["docid"] for r in rows) == sorted(r["docid"] for r in again.collect())

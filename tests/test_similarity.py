@@ -1,0 +1,82 @@
+"""Similarity search vs numpy brute force on the driver."""
+
+import numpy as np
+import pytest
+
+from flagembedding_spark.operators.similarity import (
+    brute_force_cosine_topk,
+    hyperplane_signatures,
+    lsh_cosine_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def brute(emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return ids, m
+
+
+def _want_topk(ids, m, qmask, cmask, k):
+    sims = m[qmask] @ m[cmask].T
+    out = {}
+    for qi, qid in enumerate(ids[qmask]):
+        order = sorted(
+            zip(sims[qi], ids[cmask]), key=lambda t: (-round(t[0], 12), t[1])
+        )[:k]
+        out[int(qid)] = [(int(d), s) for s, d in order]
+    return out
+
+
+@pytest.mark.parametrize("method", ["sql", "numpy"])
+def test_brute_force_matches_numpy(spark, emb, brute, method):
+    ids, m = brute
+    q = emb.filter("vec_id < 5")
+    c = emb.filter("vec_id >= 5")
+    got_rows = brute_force_cosine_topk(q, c, k=5, method=method).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r["qid"], r["rank"])):
+        got.setdefault(r["qid"], []).append((r["docid"], r["cosine"]))
+    want = _want_topk(ids, m, ids < 5, ids >= 5, 5)
+    assert set(got) == set(want)
+    for qid in want:
+        assert [d for d, _ in got[qid]] == [d for d, _ in want[qid]], qid
+        for (gd, gs), (wd, ws) in zip(got[qid], want[qid]):
+            assert abs(gs - ws) < 1e-9
+
+
+def test_hyperplane_signatures_deterministic(spark, emb):
+    a = {(r["vec_id"], r["table"]): r["sig"] for r in
+         hyperplane_signatures(emb.limit(50), 64, 4, 4).collect()}
+    b = {(r["vec_id"], r["table"]): r["sig"] for r in
+         hyperplane_signatures(emb.limit(50), 64, 4, 4).collect()}
+    assert a == b
+    assert len(set(a.values())) > 1  # actually discriminates
+
+
+def test_lsh_recall_vs_brute(spark, emb, brute):
+    """Approximate path recall@5 ≥ 0.6 with 16x4 tables on this data
+    (quality gate, not exactness — exact rescoring means no false positives
+    in scores, only misses)."""
+    ids, m = brute
+    q = emb.filter("vec_id < 20")
+    c = emb.filter("vec_id >= 20")
+    got_rows = lsh_cosine_topk(q, c, k=5, n_tables=16, planes_per_table=4).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["qid"], set()).add(r["docid"])
+    want = _want_topk(ids, m, ids < 20, ids >= 20, 5)
+    hits = total = 0
+    for qid, wl in want.items():
+        total += len(wl)
+        hits += len(got.get(qid, set()) & {d for d, _ in wl})
+    assert hits / total >= 0.6, f"LSH recall {hits/total:.2f}"
