@@ -54,13 +54,27 @@ def _queries_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(QUERY_SET, ["query_id", "query"])
 
 
+_INDEX_MEMO: dict[tuple, InvertedIndex] = {}
+
+
 def build_doc_index(spark: SparkSession, sf_dir: str,
                     config: BM25Config | None = None) -> InvertedIndex:
+    """Index over the driver's documents table. Memoized per (session, dir,
+    params) with cached postings/dictionary — the driver's verify runs ~26
+    entries in one process, most of which need this same index."""
+    config = config or BM25Config(k1=K1, b=B)
+    key = (id(spark), sf_dir, config.k1, config.b, config.use_avgdl)
+    if key in _INDEX_MEMO:
+        return _INDEX_MEMO[key]
     docs = _docs(spark, sf_dir)
-    return build_index(
-        docs, config or BM25Config(k1=K1, b=B),
-        content_col="text", docid_long="doc_id", cache=False,
+    idx = build_index(
+        docs, config, content_col="text", docid_long="doc_id", cache=False,
     )
+    idx.postings = idx.postings.cache()
+    idx.doc_stats = idx.doc_stats.cache()
+    idx.dictionary = idx.dictionary.cache()
+    _INDEX_MEMO[key] = idx
+    return idx
 
 
 # ---------------------------------------------------------------------------

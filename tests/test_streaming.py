@@ -1,0 +1,88 @@
+"""Incremental ingest: two micro-batch waves must equal one batch build."""
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from flagembedding_spark.config import BM25Config
+from flagembedding_spark.operators.index_build import build_index
+from flagembedding_spark.operators.query import bm25_topk
+from flagembedding_spark.schemas import synth_corpus_rows
+from flagembedding_spark.streaming.ingest import (
+    load_incremental_index,
+    start_incremental_ingest,
+)
+
+
+@pytest.fixture()
+def tmproot():
+    d = tempfile.mkdtemp(prefix="fes_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_wave(path: str, rows, name: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/{name}.json", "w") as f:
+        for repo, p, commit, lang, content in rows:
+            f.write(
+                json.dumps(
+                    {"repo": repo, "path": p, "commit": commit,
+                     "lang": lang, "content": content}
+                ) + "\n"
+            )
+
+
+def test_incremental_ingest_two_waves(spark, tmproot):
+    rows = synth_corpus_rows(120, seed=42)
+    inp = f"{tmproot}/in"
+    root = f"{tmproot}/idx"
+    cfg = BM25Config()
+
+    _write_wave(inp, rows[:60], "wave1")
+    q = start_incremental_ingest(spark, inp, root, cfg)
+    q.awaitTermination(120)
+    idx1 = load_incremental_index(spark, root, cfg)
+    assert idx1.stats.n_docs == 60
+
+    _write_wave(inp, rows[60:], "wave2")
+    q = start_incremental_ingest(spark, inp, root, cfg)
+    q.awaitTermination(120)
+    idx2 = load_incremental_index(spark, root, cfg)
+    assert idx2.stats.n_docs == 120
+
+    # logical equality with a one-shot batch build
+    batch = build_index(
+        spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string"),
+        cfg,
+    )
+
+    def canon(idx):
+        id2s = {r["docid"]: r["docid_str"] for r in idx.doc_stats.collect()}
+        return sorted(
+            (r["term"], id2s[r["docid"]], r["tf"], r["dl"])
+            for r in idx.postings.collect()
+        )
+
+    assert canon(idx2) == canon(batch)
+
+    # and the query engine runs over the incrementally-built index
+    queries = spark.createDataFrame([("q1", "def import return")], ["query_id", "query"])
+    res = bm25_topk(idx2, queries, k=5).collect()
+    assert len(res) == 5
+
+
+def test_ingest_exactly_once_on_rerun(spark, tmproot):
+    rows = synth_corpus_rows(30, seed=1)
+    inp = f"{tmproot}/in"
+    root = f"{tmproot}/idx"
+    _write_wave(inp, rows, "only")
+    for _ in range(2):  # second drain sees no new files → no duplicate docs
+        q = start_incremental_ingest(spark, inp, root)
+        q.awaitTermination(120)
+    idx = load_incremental_index(spark, root)
+    assert idx.stats.n_docs == 30
+    assert idx.doc_stats.select("docid_str").distinct().count() == 30
