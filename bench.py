@@ -194,6 +194,24 @@ def main() -> None:
     timings["bm25_single_query_p50"] = lat[len(lat) // 2]
     timings["bm25_single_query_p95"] = p95
 
+    # --- scale path: segment build + merge + WAND query over documents ---
+    from flagembedding_spark.config import BM25Config as _Cfg
+    from flagembedding_spark.operators.segments import build_segments, merge_segments
+    from flagembedding_spark.operators.wand import wand_topk
+
+    t = time.perf_counter()
+    seg_cfg = _Cfg(k1=K1, b=B, block_size=128, salt_threshold_df=1000,
+                   max_salt=8, term_buckets=32)
+    idx_seg = build_doc_index(spark, sf_dir, seg_cfg)
+    seg = merge_segments(build_segments(idx_seg))
+    seg.blocks = seg.blocks.cache()
+    n_blocks = seg.blocks.count()
+    timings["segment_build_merge"] = time.perf_counter() - t
+
+    t = time.perf_counter()
+    wand_topk(seg, _queries_df(spark), k=TOPK, use_wand=True).count()
+    timings["wand_topk_batch"] = time.perf_counter() - t
+
     # --- synthetic-corpus build throughput at full parallelism ---
     t = time.perf_counter()
     t_build, t_query, n_postings, _ = build_and_query_once(
@@ -204,6 +222,7 @@ def main() -> None:
     spark.stop()
 
     index_metrics = {
+        "segment_blocks": n_blocks,
         "documents_rows": n_table_docs,
         "synth_docs": n_docs,
         "synth_postings": n_postings,

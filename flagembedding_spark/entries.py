@@ -63,7 +63,8 @@ def build_doc_index(spark: SparkSession, sf_dir: str,
     params) with cached postings/dictionary — the driver's verify runs ~26
     entries in one process, most of which need this same index."""
     config = config or BM25Config(k1=K1, b=B)
-    key = (id(spark), sf_dir, config.k1, config.b, config.use_avgdl)
+    key = (id(spark), sf_dir, config.k1, config.b, config.use_avgdl,
+           tuple(sorted(config.stop_tokens)))
     if key in _INDEX_MEMO:
         return _INDEX_MEMO[key]
     docs = _docs(spark, sf_dir)

@@ -588,3 +588,171 @@ FROM documents GROUP BY sha256(text)
     "rerank_pairs": _rerank_sql(),
     "hard_negatives": _hard_negatives_sql(),
 }
+
+
+# ---------------------------------------------------------------------------
+# QA containment (J6), impact index (S11/T9), stop-filter (T3),
+# code tokenizer (T2), instruction templating (T8)
+# ---------------------------------------------------------------------------
+
+ANSWERS: list[tuple[str, str]] = [
+    ("q1", "spark hash"),
+    ("q2", "dup"),
+    ("q3", "window group"),
+    ("q6", "the"),
+    ("q7", "dup merge"),
+    ("q8", "sort order"),
+]
+
+STOP_SET = ("the", "a")
+INSTRUCTION = "Represent this sentence for retrieval: "
+
+
+def _answers_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(ANSWERS, ["qid", "answer"])
+
+
+def q_qa_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.qa import answer_containment
+
+    idx = build_doc_index(spark, sf_dir)
+    run = bm25_topk(idx, _queries_df(spark), k=TOPK, round_scores=4)
+    return answer_containment(run, _answers_df(spark), _docs(spark, sf_dir))
+
+
+def q_qa_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.qa import answer_containment, qa_recall_at_k
+
+    idx = build_doc_index(spark, sf_dir)
+    run = bm25_topk(idx, _queries_df(spark), k=TOPK, round_scores=4)
+    cont = answer_containment(run, _answers_df(spark), _docs(spark, sf_dir))
+    return qa_recall_at_k(cont, k_values=[1, 5, 10])
+
+
+def q_impact_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.index_build import impact_postings
+
+    idx = build_doc_index(spark, sf_dir)
+    return impact_postings(idx)
+
+
+def q_postings_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = BM25Config(k1=K1, b=B, stop_tokens=frozenset(STOP_SET))
+    idx = build_doc_index(spark, sf_dir, cfg)
+    return idx.postings.select("term", "docid", "tf", "dl")
+
+
+def q_code_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.functions.tokenize import code_tokens
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.size(code_tokens("text")).alias("n_code_tokens")
+    )
+
+
+def q_query_instruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.qa import with_instruction
+
+    return with_instruction(_queries_df(spark), INSTRUCTION).select(
+        F.col("query_id").alias("qid"), "query"
+    )
+
+
+_NORM_DOC_SQL = (
+    "' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' '"
+)
+
+
+def _qa_containment_sql() -> str:
+    base = bm25_sql(K1, B, TOPK, use_avgdl=True).strip()
+    avals = ", ".join(f"('{q}', '{a}')" for q, a in ANSWERS)
+    return f"""
+WITH base AS ({base}),
+ans(qid, answer) AS (VALUES {avals}),
+docs AS (SELECT doc_id, {_NORM_DOC_SQL} AS ntext FROM documents)
+SELECT b.qid AS qid, b.docid AS docid, b.rank AS rank,
+       max(CASE WHEN instr(d.ntext,
+             ' ' || trim(regexp_replace(lower(a.answer), '\\s+', ' ', 'g')) || ' ') > 0
+           THEN 1 ELSE 0 END) AS contains
+FROM base b JOIN docs d ON b.docid = d.doc_id JOIN ans a ON a.qid = b.qid
+GROUP BY 1, 2, 3
+"""
+
+
+def _qa_recall_sql() -> str:
+    cont = _qa_containment_sql().strip()
+    blocks = []
+    for k in (1, 5, 10):
+        blocks.append(f"""
+SELECT 'qa_recall' AS metric, {k} AS k,
+  round(CAST((SELECT count(DISTINCT qid) FROM cont
+              WHERE rank <= {k} AND contains = 1) AS DOUBLE)
+        / (SELECT count(DISTINCT qid) FROM cont), 5) AS value
+""")
+    return f"WITH cont AS ({cont})" + "\nUNION ALL\n".join(blocks)
+
+
+def _impact_sql() -> str:
+    from flagembedding_spark.entries import _BASE_CTES
+
+    return f"""
+WITH {_BASE_CTES.strip()}
+SELECT t.term AS term, t.doc_id AS docid,
+       CAST(ceil((t.tf / (t.tf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl))) * 100) AS INT) AS impact,
+       l.dl AS dl
+FROM tf t JOIN doclen l USING (doc_id) CROSS JOIN stats s
+"""
+
+
+def _stopfiltered_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in STOP_SET)
+    return f"""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term NOT IN ({stops}) GROUP BY doc_id, term
+)
+SELECT t.term AS term, t.doc_id AS docid, t.tf AS tf, l.dl AS dl
+FROM tf t JOIN doclen l USING (doc_id)
+"""
+
+
+_CODE_TOKEN_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^\sA-Za-z0-9_]')) AS n_code_tokens
+FROM documents
+"""
+
+
+def _instruction_sql() -> str:
+    qvals = ", ".join(f"('{q}', '{t}')" for q, t in QUERY_SET)
+    return f"""
+SELECT qid, '{INSTRUCTION}' || query AS query
+FROM (VALUES {qvals}) AS q(qid, query)
+"""
+
+
+PIPELINE_ENTRIES.update(
+    {
+        "qa_containment": q_qa_containment,
+        "qa_recall": q_qa_recall,
+        "impact_postings": q_impact_postings,
+        "postings_stopfiltered": q_postings_stopfiltered,
+        "code_token_counts": q_code_token_counts,
+        "query_instruction": q_query_instruction,
+    }
+)
+
+PIPELINE_ORACLE_SQL.update(
+    {
+        "qa_containment": _qa_containment_sql(),
+        "qa_recall": _qa_recall_sql(),
+        "impact_postings": _impact_sql(),
+        "postings_stopfiltered": _stopfiltered_sql(),
+        "code_token_counts": _CODE_TOKEN_SQL,
+        "query_instruction": _instruction_sql(),
+    }
+)

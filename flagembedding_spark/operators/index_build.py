@@ -254,6 +254,36 @@ def _build_index_arrow(
     )
 
 
+def impact_postings(
+    index: InvertedIndex, quantize: int = 100
+) -> DataFrame:
+    """S11/T9: learned-sparse "impact" index shape — postings carry an
+    integer impact weight instead of raw tf. The reference quantizes learned
+    weights as int(ceil(w*100)) for Lucene's impact index
+    (step0-encode_query-and-corpus.py:131-133); here the weight is the BM25
+    tf-normalization (the same generalization: tf → weight), so an impact
+    index built from BM25 weights reproduces BM25 ranking.
+    → (term, docid, impact int, dl)."""
+    cfg = index.config
+    avgdl = index.avgdl_effective
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    tfn = tf / (tf + cfg.k1 * (1.0 - cfg.b + cfg.b * dl / F.lit(avgdl)))
+    return index.postings.select(
+        "term",
+        "docid",
+        F.ceil(tfn * quantize).cast("int").alias("impact"),
+        "dl",
+    )
+
+
+def length_sorted(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """W6: length-sorted batching (m3.py:391-393 sorts by text length so
+    fixed-size batches waste less padding). Perf-only: partition-local sort,
+    no shuffle."""
+    return df.sortWithinPartitions(F.length(F.col(content_col)))
+
+
 def verify_content_sha(index: InvertedIndex, corpus: DataFrame,
                        content_col: str = "content",
                        docid_str: F.Column | None = None) -> int:
