@@ -46,6 +46,26 @@ def _queries_df(spark: SparkSession):
     return spark.createDataFrame(QUERY_SET, ["query_id", "query"])
 
 
+def _synth_queries_df(spark: SparkSession):
+    """Query set matching the synthetic code corpus vocabulary (hot
+    stopword-like tokens + head/tail identifiers) — the documents-table
+    QUERY_SET is OOV there and would measure empty joins."""
+    from flagembedding_spark.schemas import _identifier_vocab
+
+    v = _identifier_vocab(512)
+    qs = [
+        ("s1", "def return import"),                   # hot terms only
+        ("s2", f"{v[0]} {v[3]}"),                      # head identifiers
+        ("s3", f"{v[100]} self ("),                    # mixed
+        ("s4", f"{v[300]} {v[450]}"),                  # tail identifiers
+        ("s5", f"def def {v[7]}"),                     # qtf>1
+        ("s6", "zz_oov_token"),                        # OOV
+        ("s7", f"{v[1]} {v[2]} {v[5]} class"),
+        ("s8", f"{v[50]} merge_er_0"),
+    ]
+    return spark.createDataFrame(qs, ["query_id", "query"])
+
+
 def build_and_query_once(spark: SparkSession, n_docs: int, partitions: int):
     """One full pipeline, the real job shape: synth corpus → one-pass
     persisted index build (mapInArrow → parquet) → BM25 top-k over the
@@ -68,9 +88,10 @@ def build_and_query_once(spark: SparkSession, n_docs: int, partitions: int):
         n_postings = idx.postings.count()
 
         t1 = time.perf_counter()
-        res = bm25_topk(idx, _queries_df(spark), k=TOPK)
+        res = bm25_topk(idx, _synth_queries_df(spark), k=TOPK)
         n_res = res.count()
         t_query = time.perf_counter() - t1
+        assert n_res > 0, "synthetic query set must hit the synthetic corpus"
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return t_build, t_query, n_postings, n_res

@@ -228,9 +228,14 @@ def wand_topk(
     use_wand: bool = True,
     qid_col: str = "query_id",
     query_col: str = "query",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Top-k BM25 over the merged segment index. ``use_wand=False`` runs the
-    exact decode-everything path; both must return identical top-k."""
+    exact decode-everything path; both must return identical top-k.
+
+    ``num_partitions`` bounds the per-query scoring tasks (default: the
+    cluster's parallelism, capped — a 200-partition session default would
+    spin 200 Python workers for a handful of queries)."""
     cfg = seg.config
     k1, b = cfg.k1, cfg.b
     avgdl = seg.avgdl_effective
@@ -243,7 +248,10 @@ def wand_topk(
     cand = seg.blocks.join(F.broadcast(qt_idf), "term").withColumn(
         "w", F.col("qtf") * F.col("idf") * F.lit(k1 + 1.0)
     )
-    cand = cand.repartition("qid")
+    n_part = num_partitions or min(
+        max(spark.sparkContext.defaultParallelism, 4), 64
+    )
+    cand = cand.repartition(n_part, "qid")
 
     kk = k
     use_w = use_wand

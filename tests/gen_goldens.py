@@ -51,21 +51,7 @@ def load_reference_class():
     return ns["NaiveBM25Retriever"]
 
 
-def main() -> None:
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-    from flagembedding_spark.schemas import synth_corpus_rows, synth_queries_rows
-
-    corpus_rows = synth_corpus_rows(N_DOCS, seed=42)
-    query_rows = synth_queries_rows(N_QUERIES, seed=43)
-
-    # shared tokenization contract: single-space split (T1). The synthetic
-    # content contains newlines; the reference splits on " " only, so "a\nb"
-    # would be one token. Our engine does the same — parity by construction.
-    docs = [r[4] for r in corpus_rows]
-
-    retriever_cls = load_reference_class()
+def run_oracle(retriever_cls, docs: list[str], query_rows) -> list[dict]:
     golden = []
     for qid, query in query_rows:
         # fresh retriever per query: avoids the cross-query global_scores
@@ -82,12 +68,44 @@ def main() -> None:
                     "score": None if np.isneginf(s) else float(s),
                 }
             )
+    return golden
+
+
+def main() -> None:
+    import re
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from flagembedding_spark.functions.tokenize import CODE_TOKEN_RE
+    from flagembedding_spark.schemas import synth_corpus_rows, synth_queries_rows
+
+    corpus_rows = synth_corpus_rows(N_DOCS, seed=42)
+    query_rows = synth_queries_rows(N_QUERIES, seed=43)
+
+    # shared tokenization contract: single-space split (T1). The synthetic
+    # content contains newlines; the reference splits on " " only, so "a\nb"
+    # would be one token. Our engine does the same — parity by construction.
+    docs = [r[4] for r in corpus_rows]
+
+    retriever_cls = load_reference_class()
+    golden = run_oracle(retriever_cls, docs, query_rows)
+
+    # T2 same-tokenizer pattern (bm25_baseline_same_tokenizer.py): tokenize
+    # docs AND queries with OUR code tokenizer, re-join with spaces, feed both
+    # to the reference — goldens then cover index+scoring under the code
+    # tokenizer too (a pytest separately asserts Spark's code_tokens equals
+    # this regex tokenization).
+    code_re = re.compile(CODE_TOKEN_RE)
+    code_docs = [" ".join(code_re.findall(t)) for t in docs]
+    code_queries = [(qid, " ".join(code_re.findall(q))) for qid, q in query_rows]
+    golden_code = run_oracle(retriever_cls, code_docs, code_queries)
 
     payload = {
         "config": {"k1": K1, "b": B, "hits": HITS, "use_avgdl": False,
                    "n_docs": N_DOCS, "n_queries": N_QUERIES,
                    "corpus_seed": 42, "query_seed": 43},
         "rows": golden,
+        "rows_code_tokenizer": golden_code,
     }
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:

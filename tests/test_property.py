@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) for the pure-numpy codec and randomized
+cross-path engine checks."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flagembedding_spark.operators.segments import varint_decode, varint_encode
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip_property(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(arr)), arr)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300)
+)
+@settings(max_examples=100, deadline=None)
+def test_delta_gap_roundtrip_property(docids):
+    """sorted docids → gaps → varint → back."""
+    d = np.array(sorted(docids), dtype=np.int64)
+    gaps = np.empty(d.size, dtype=np.uint64)
+    gaps[0] = 0
+    if d.size > 1:
+        gaps[1:] = (d[1:] - d[:-1]).astype(np.uint64)
+    back = np.cumsum(varint_decode(varint_encode(gaps)).astype(np.int64)) + d[0]
+    assert np.array_equal(back, d)
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_whitespace_token_contract_property(s):
+    """The engine's T1 contract is Python's str.split(' ') — dl must equal
+    len(tokens) and tf sums must equal dl for any unicode text."""
+    toks = s.split(" ")
+    from collections import Counter
+
+    c = Counter(toks)
+    assert sum(c.values()) == len(toks)
+
+
+def test_randomized_bm25_vs_bruteforce(spark):
+    """Random corpora/queries across seeds: DataFrame engine == brute force."""
+    import math
+    import random
+    from collections import Counter, defaultdict
+
+    from flagembedding_spark.config import BM25Config
+    from flagembedding_spark.operators.index_build import build_index
+    from flagembedding_spark.operators.query import bm25_topk
+
+    for seed in (3, 17, 99):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        docs = [
+            (str(i), " ".join(rng.choices(vocab, k=rng.randint(1, 40))))
+            for i in range(60)
+        ]
+        queries = [
+            (f"q{j}", " ".join(rng.choices(vocab + ["oov"], k=rng.randint(1, 5))))
+            for j in range(8)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        idx = build_index(
+            df, BM25Config(k1=0.9, b=0.4), content_col="text",
+            docid_long="doc_id",
+        )
+        qdf = spark.createDataFrame(queries, ["query_id", "query"])
+        got = {}
+        for r in bm25_topk(idx, qdf, k=10).collect():
+            got.setdefault(r["qid"], {})[int(r["docid"])] = r["score"]
+
+        # brute force
+        tf = {int(d): Counter(t.split(" ")) for d, t in docs}
+        dfreq = defaultdict(int)
+        for c in tf.values():
+            for t in c:
+                dfreq[t] += 1
+        dl = {int(d): len(t.split(" ")) for d, t in docs}
+        n = len(docs)
+        avgdl = sum(dl.values()) / n
+        for qid, q in queries:
+            scores = defaultdict(float)
+            for tok in q.split(" "):
+                if tok not in dfreq:
+                    continue
+                idf = math.log((n - dfreq[tok] + 0.5) / (dfreq[tok] + 0.5) + 1)
+                for d, c in tf.items():
+                    if tok in c:
+                        t = c[tok]
+                        scores[d] += idf * 1.9 * t / (t + 0.9 * (0.6 + 0.4 * dl[d] / avgdl))
+            want = dict(
+                sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+            )
+            g = got.get(qid, {})
+            assert set(g) == set(want), (seed, qid)
+            for d in want:
+                assert math.isclose(g[d], want[d], rel_tol=1e-9), (seed, qid, d)
