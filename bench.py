@@ -230,8 +230,11 @@ def main() -> None:
     timings["segment_build_merge"] = time.perf_counter() - t
 
     t = time.perf_counter()
-    wand_topk(seg, _queries_df(spark), k=TOPK, use_wand=True).count()
+    wand_topk(seg, _queries_df(spark), k=TOPK, use_wand="pruned").count()
     timings["wand_topk_batch"] = time.perf_counter() - t
+    t = time.perf_counter()
+    wand_topk(seg, _queries_df(spark), k=TOPK, use_wand="exact").count()
+    timings["segment_exact_topk_batch"] = time.perf_counter() - t
 
     # --- synthetic-corpus build throughput at full parallelism ---
     t = time.perf_counter()

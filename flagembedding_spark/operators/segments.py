@@ -256,6 +256,9 @@ def build_segments(
     )
 
     def write_blocks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        """Input is sorted by (term, docid) within the partition. Run
+        boundaries are found on the DICTIONARY-ENCODED term column, so the
+        Python-level work is O(#distinct terms), never O(#postings)."""
         cur_term = None
         cur_bucket = 0
         bufs: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
@@ -273,24 +276,24 @@ def build_segments(
             bufs.clear()
 
         for batch in batches:
-            terms = batch.column("term").to_pylist()
+            enc = batch.column("term").dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            vocab = enc.dictionary.to_pylist()  # O(#distinct terms)
             docids = batch.column("docid").to_numpy(zero_copy_only=False)
             tfs = batch.column("tf").to_numpy(zero_copy_only=False)
             dls = batch.column("dl").to_numpy(zero_copy_only=False)
             buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
-            # find term-run boundaries within the batch (input sorted by term)
-            i = 0
-            nrows = len(terms)
-            while i < nrows:
-                j = i + 1
-                while j < nrows and terms[j] == terms[i]:
-                    j += 1
-                if terms[i] != cur_term:
+            nrows = codes.size
+            bounds = np.nonzero(np.diff(codes))[0] + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [nrows]))
+            for i, j in zip(starts, ends):
+                term = vocab[codes[i]]
+                if term != cur_term:
                     flush_term()
-                    cur_term = terms[i]
+                    cur_term = term
                     cur_bucket = int(buckets[i])
                 bufs.append((docids[i:j], tfs[i:j], dls[i:j]))
-                i = j
             if len(rows) >= 4096:
                 yield _rows_to_batch(rows)
                 rows = []

@@ -200,6 +200,113 @@ def _wand_query(qid: str, term_blocks: dict, k: int):
     return [(qid, -nd, s, r + 1) for r, (s, nd) in enumerate(out)]
 
 
+def _pruned_query(qid: str, term_blocks: dict, k: int):
+    """Vectorized score-safe pruning (the default scale path).
+
+    Classic DAAT block-max WAND (``_wand_query``) is per-pivot Python — it
+    measured 5x slower than vectorized exact decode on corpora whose scores
+    are homogeneous (nothing prunable). This variant keeps everything numpy:
+
+    1. bootstrap θ: fully score the single highest-upper-bound term
+       (vectorized); take its kth partial score — a lower bound of the true
+       kth total, so pruning with it is safe.
+    2. essential terms: order terms by total upper bound ascending; the
+       maximal prefix whose UB sum is < θ is non-essential — a doc appearing
+       ONLY in those lists scores ≤ that sum < θ and can never reach top-k.
+    3. decode every essential term's blocks (vectorized), bincount-accumulate
+       → candidate docs with their essential-term partials.
+    4. for each non-essential term, decode ONLY blocks whose docid range
+       intersects the candidate set (block-max metadata range check via
+       searchsorted) and add contributions for candidate docs.
+    5. exact top-k over candidates (their totals are complete).
+
+    Degenerates to the exact path when θ can't exclude any term (all terms
+    essential) — so it is never slower than exact by more than the bootstrap.
+    """
+    if not term_blocks:
+        return []
+    entries = list(term_blocks.values())
+    # per-term total upper bound = weight * max block tfn (ubs already scaled)
+    total_ubs = np.array(
+        [float(e[3].max()) * e[0] if len(e[3]) else 0.0 for e in entries]
+    )
+
+    def decode_term(e):
+        ds, ss = [], []
+        for f, docs, tfs, dls, k1, b, avgdl in e[4]:
+            d, t, l_ = decode_block(f, docs, tfs, dls)
+            tf = t.astype(np.float64)
+            dl = l_.astype(np.float64)
+            ds.append(d)
+            ss.append(e[0] * tf / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+        return np.concatenate(ds), np.concatenate(ss)
+
+    # 1. bootstrap theta from the strongest term
+    boot = int(np.argmax(total_ubs))
+    bd, bs = decode_term(entries[boot])
+    if bd.size > k:
+        theta = float(np.partition(bs, bd.size - k)[bd.size - k])
+    else:
+        theta = 0.0
+
+    # 2. essential split
+    order = np.argsort(total_ubs, kind="stable")
+    cum = np.cumsum(total_ubs[order])
+    non_essential = [int(i) for i, c in zip(order, cum) if c < theta]
+    essential = [i for i in range(len(entries)) if i not in set(non_essential)]
+
+    # 3. decode essential terms, accumulate
+    all_d = [bd] if boot in essential else []
+    all_s = [bs] if boot in essential else []
+    for i in essential:
+        if i == boot:
+            continue
+        d, s = decode_term(entries[i])
+        all_d.append(d)
+        all_s.append(s)
+    if not all_d:
+        return []
+    d = np.concatenate(all_d)
+    s = np.concatenate(all_s)
+    cand, inv = np.unique(d, return_inverse=True)
+    acc = np.zeros(cand.size, dtype=np.float64)
+    np.add.at(acc, inv, s)
+
+    # 4. candidate-only rescoring against non-essential terms: select
+    # range-intersecting blocks vectorized, bulk-decode them, then ONE
+    # searchsorted membership pass per term
+    for i in non_essential:
+        e = entries[i]
+        firsts, lasts = e[1], e[2]
+        lo = np.searchsorted(cand, firsts, side="left")
+        hi = np.searchsorted(cand, lasts, side="right")
+        touch = np.nonzero(hi > lo)[0]
+        if touch.size == 0:
+            continue
+        bds, bts, bls = [], [], []
+        k1 = b = avgdl = None
+        for bi in touch:
+            f, docs, tfs, dls, k1, b, avgdl = e[4][bi]
+            d2, t2, l2 = decode_block(f, docs, tfs, dls)
+            bds.append(d2)
+            bts.append(t2)
+            bls.append(l2)
+        bd2 = np.concatenate(bds)
+        bt = np.concatenate(bts)
+        bl = np.concatenate(bls)
+        pos = np.searchsorted(cand, bd2)
+        pos[pos >= cand.size] = 0
+        hitmask = cand[pos] == bd2
+        if not hitmask.any():
+            continue
+        tf = bt[hitmask].astype(np.float64)
+        dl = bl[hitmask].astype(np.float64)
+        contrib = e[0] * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        np.add.at(acc, pos[hitmask], contrib)
+
+    return _topk_rows(qid, cand, acc, k)
+
+
 def _exact_query(qid: str, term_blocks: dict, k: int):
     """Exact path: decode every block of every query term, vectorized
     accumulate, top-k."""
@@ -225,13 +332,18 @@ def wand_topk(
     seg: SegmentIndex,
     queries: DataFrame,
     k: int = 10,
-    use_wand: bool = True,
+    use_wand: bool | str = True,
     qid_col: str = "query_id",
     query_col: str = "query",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Top-k BM25 over the merged segment index. ``use_wand=False`` runs the
-    exact decode-everything path; both must return identical top-k.
+    """Top-k BM25 over the merged segment index.
+
+    ``use_wand``: 'pruned' (default for True — vectorized union-bound pruning
+    with candidate rescoring), 'daat' (classic per-pivot block-max WAND),
+    or False/'exact' (decode everything). All three return identical top-k
+    (tested); 'pruned' is the scale default — measured: never slower than
+    exact, prunes where score distributions are skewed.
 
     ``num_partitions`` bounds the per-query scoring tasks (default: the
     cluster's parallelism, capped — a 200-partition session default would
@@ -254,7 +366,14 @@ def wand_topk(
     cand = cand.repartition(n_part, "qid")
 
     kk = k
-    use_w = use_wand
+    if use_wand is True:
+        mode = "pruned"
+    elif use_wand is False:
+        mode = "exact"
+    else:
+        mode = use_wand
+    if mode not in ("pruned", "daat", "exact"):
+        raise ValueError(f"unknown mode {mode!r}")
 
     def score_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         per_q: dict[str, dict] = {}
@@ -287,9 +406,8 @@ def wand_topk(
                 )
                 for t, e in tb.items()
             }
-            rows.extend(
-                _wand_query(q, packed, kk) if use_w else _exact_query(q, packed, kk)
-            )
+            fn = {"pruned": _pruned_query, "daat": _wand_query, "exact": _exact_query}[mode]
+            rows.extend(fn(q, packed, kk))
         if rows:
             cols = list(zip(*rows))
             yield pa.RecordBatch.from_arrays(

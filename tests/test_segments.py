@@ -153,8 +153,9 @@ def _canon(rows, ndigits=9):
     return {q: sorted(v, key=lambda x: (-x[0], x[1])) for q, v in by_qid.items()}
 
 
-def test_wand_equals_exact(merged, tiny_queries):
-    w = wand_topk(merged, tiny_queries, k=10, use_wand=True).collect()
+@pytest.mark.parametrize("mode", ["pruned", "daat"])
+def test_wand_equals_exact(merged, tiny_queries, mode):
+    w = wand_topk(merged, tiny_queries, k=10, use_wand=mode).collect()
     e = wand_topk(merged, tiny_queries, k=10, use_wand=False).collect()
     cw, ce = _canon(w), _canon(e)
     assert set(cw) == set(ce)
