@@ -435,6 +435,15 @@ SELECT 'precision', {k}, round(avg(CAST(n_hit AS DOUBLE) / {k}), 5) FROM (
       (SELECT count(*) FROM base b JOIN qrels USING (qid, docid)
         WHERE b.qid = q.qid AND b.rank <= {k}) AS n_hit
     FROM (SELECT DISTINCT qid FROM qrels) q)
+UNION ALL
+SELECT 'map', {k}, round(avg(coalesce(ap_num, 0.0) / n_rel), 5) FROM (
+    SELECT q.qid,
+      (SELECT sum(p) FROM (
+          SELECT (row_number() OVER (ORDER BY b.rank)) * 1.0 / b.rank AS p
+          FROM base b JOIN qrels USING (qid, docid)
+          WHERE b.qid = q.qid AND b.rank <= {k}) hp) AS ap_num,
+      (SELECT count(*) FROM qrels WHERE qrels.qid = q.qid) AS n_rel
+    FROM (SELECT DISTINCT qid FROM qrels) q)
 """)
     return f"WITH base AS ({base}), {_QRELS_SQL.strip()}\n" + "\nUNION ALL\n".join(blocks)
 

@@ -58,10 +58,18 @@ def ir_metrics(
     for k in k_values:
         hk = hits.filter(F.col("rank") <= k)
 
+        # average precision: precision at each relevant position within top-k
+        # divided by the total relevant count (trec_eval map_cut semantics)
+        w_hit = Window.partitionBy("qid").orderBy("rank")
+        hk = hk.withColumn(
+            "prec_at_hit", F.row_number().over(w_hit) / F.col("rank")
+        )
+
         per_q = hk.groupBy("qid").agg(
             F.min("rank").alias("first_hit"),
             F.count("*").alias("n_hit"),
             F.sum(F.col("relevance") / F.log2(F.col("rank") + 1)).alias("dcg"),
+            F.sum("prec_at_hit").alias("ap_num"),
         )
         idcg = ideal.filter(F.col("irank") <= k).groupBy("qid").agg(
             F.sum(F.col("relevance") / F.log2(F.col("irank") + 1)).alias("idcg")
@@ -76,6 +84,7 @@ def ir_metrics(
                 F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0)).alias("rr"),
                 F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
                 F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)).alias("ndcg"),
+                F.coalesce(F.col("ap_num"), F.lit(0.0)).alias("ap_num"),
                 F.col("n_rel"),
             )
         )
@@ -89,8 +98,9 @@ def ir_metrics(
             F.round(F.avg(F.col("n_hit") / F.lit(float(k))), round_dp).alias(
                 "precision"
             ),
+            F.round(F.avg(F.col("ap_num") / F.col("n_rel")), round_dp).alias("map"),
         ).collect()[0]
-        for m in ("mrr", "recall", "r_cap", "ndcg", "precision"):
+        for m in ("mrr", "recall", "r_cap", "ndcg", "precision", "map"):
             out.append((m, k, float(row[m])))
 
     return spark.createDataFrame(out, "metric string, k int, value double")

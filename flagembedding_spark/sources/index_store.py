@@ -31,6 +31,7 @@ def build_and_save_index(
     config: BM25Config | None = None,
     content_col: str = "content",
     docid_str=None,
+    timings: dict | None = None,
 ) -> InvertedIndex:
     """One-pass persisted build (the real index-build job shape at scale):
 
@@ -45,10 +46,19 @@ def build_and_save_index(
 
     from flagembedding_spark.operators.arrow_postings import tokenize_count_stream
 
+    import time
+
     config = config or BM25Config()
+    t0 = time.perf_counter()
     stream = tokenize_count_stream(corpus, config, content_col, docid_str)
     stream.write.mode("overwrite").parquet(f"{root}/stream")
+    if timings is not None:
+        # the corpus pass: tokenize+count+persist — the phase whose
+        # throughput scales with executors (finalize below is a handful of
+        # small derived jobs, amortized per snapshot on a real deployment)
+        timings["corpus_pass_sec"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
     spark = corpus.sparkSession
     persisted = spark.read.parquet(f"{root}/stream")
     doc_stats = persisted.filter(F.col("term").isNull())
@@ -75,6 +85,8 @@ def build_and_save_index(
     }
     with open(f"{root}/stats.json", "w") as f:
         json.dump(meta, f)
+    if timings is not None:
+        timings["finalize_sec"] = time.perf_counter() - t0
     return load_index(spark, root)
 
 

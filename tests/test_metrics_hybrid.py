@@ -53,6 +53,10 @@ def test_ir_metrics_hand_checked(run, qrels):
     idcg2 = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
     want = round((dcg1 / idcg1 + dcg2 / idcg2) / 2, 5)
     assert abs(got[("ndcg", 3)] - want) < 1e-9
+    # MAP@3 (trec_eval map_cut): q1 AP = (1/2)/2 = 0.25 ;
+    # q2 AP = (1/1 + 2/3)/3 = 0.555556 ; mean = 0.40278
+    want_map = round(((1 / 2) / 2 + (1 + 2 / 3) / 3) / 2, 5)
+    assert abs(got[("map", 3)] - want_map) < 1e-9
 
 
 def test_ir_metrics_k1(run, qrels):
