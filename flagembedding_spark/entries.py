@@ -137,8 +137,8 @@ WITH {_BASE_CTES.strip()},
 {_scored_sql(k1, b, use_avgdl).strip()},
 ranked AS (
   SELECT qid, docid, round(score, 4) AS score,
-         row_number() OVER (PARTITION BY qid
-                            ORDER BY round(score, 4) DESC, docid ASC) AS rank
+         CAST(row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 4) DESC, docid ASC) AS INT) AS rank
   FROM scored
 )
 SELECT qid, docid, score, rank FROM ranked WHERE rank <= {k}

@@ -243,7 +243,7 @@ scored AS (
 ),
 ranked AS (
   SELECT qid, docid, cosine,
-         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, docid ASC) AS rank
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, docid ASC) AS INT) AS rank
   FROM scored
 )
 SELECT qid, docid, cosine, rank FROM ranked WHERE rank <= {ANN_K}
@@ -290,9 +290,9 @@ WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
 )
 SELECT d.doc_id AS doc_id,
-       len(string_split(d.text, ' ')) AS n_tokens_ws,
-       len(regexp_extract_all(d.text, '[A-Za-z0-9_]+')) AS n_words,
-       (SELECT count(DISTINCT t) FROM tok WHERE tok.doc_id = d.doc_id) AS n_tokens_distinct
+       CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(d.text, '[A-Za-z0-9_]+')) AS INT) AS n_words,
+       CAST((SELECT count(DISTINCT t) FROM tok WHERE tok.doc_id = d.doc_id) AS INT) AS n_tokens_distinct
 FROM documents d
 """
 
@@ -320,7 +320,7 @@ base AS (
          least(greatest((a.n_tok - 5) / 15.0, 0.0), 1.0) AS s_len
   FROM documents d JOIN agg a USING (doc_id)
 )
-SELECT doc_id, n_tok AS n_tokens,
+SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
        round(r_alnum, 6) AS alnum_ratio,
        round(r_stop, 6) AS stopword_ratio,
        round(r_distinct, 6) AS distinct_ratio,
@@ -482,7 +482,7 @@ fused AS (
 ),
 rk AS (
   SELECT qid, docid, score,
-         row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rank
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS INT) AS rank
   FROM fused
 )
 SELECT qid, docid, score, rank FROM rk WHERE rank <= {TOPK}
@@ -731,7 +731,7 @@ FROM tf t JOIN doclen l USING (doc_id)
 
 _CODE_TOKEN_SQL = r"""
 SELECT doc_id,
-       len(regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^\sA-Za-z0-9_]')) AS n_code_tokens
+       CAST(len(regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]*|[0-9]+|[^\sA-Za-z0-9_]')) AS INT) AS n_code_tokens
 FROM documents
 """
 

@@ -57,9 +57,8 @@ def varint_encode(values: np.ndarray) -> bytes:
     if v.size == 0:
         return b""
     # bytes needed per value: ceil(bitlen/7), min 1
+    # (bit_length via log2 is unsafe for > 2^53; use a shift loop, ≤10 iters)
     bits = np.zeros(v.shape, dtype=np.int64)
-    nz = v > 0
-    # bit_length via log2 is unsafe for > 2^53; use a shift loop (≤10 iters)
     tmp = v.copy()
     for _ in range(10):
         m = tmp > 0
@@ -77,7 +76,6 @@ def varint_encode(values: np.ndarray) -> bytes:
         byte = ((v[m] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[m] - 1 > j).astype(np.uint8) << 7
         out[offsets[m] + j] = byte | cont
-    _ = nz  # (nz retained for clarity; nbytes handles the v==0 case)
     return out.tobytes()
 
 

@@ -183,3 +183,31 @@ def test_wand_equals_dataframe_engine(index, merged, tiny_queries):
 def test_wand_oov_query(merged, spark):
     q = spark.createDataFrame([("qx", "zz_never_seen zz_nope")], ["query_id", "query"])
     assert wand_topk(merged, q, k=10).count() == 0
+
+
+def test_segment_persistence_roundtrip(spark, merged, tiny_queries, tmp_path):
+    """save_segments → load_segments → identical query results; the persisted
+    layout is partitioned by bucket (partition pruning surface)."""
+    import os
+
+    from flagembedding_spark.operators.segments import load_segments, save_segments
+
+    root = str(tmp_path / "seg")
+    save_segments(merged, root)
+    # bucket-partitioned layout on disk
+    assert any(d.startswith("bucket=") for d in os.listdir(f"{root}/blocks"))
+
+    loaded = load_segments(spark, root)
+    assert loaded.stats.n_docs == merged.stats.n_docs
+    assert loaded.config.block_size == merged.config.block_size
+    a = _canon(wand_topk(loaded, tiny_queries, k=10).collect(), 6)
+    b = _canon(wand_topk(merged, tiny_queries, k=10).collect(), 6)
+    assert a == b
+
+
+def test_wand_all_modes_identical(merged, tiny_queries):
+    outs = [
+        _canon(wand_topk(merged, tiny_queries, k=10, use_wand=m).collect(), 6)
+        for m in ("pruned", "daat", "exact")
+    ]
+    assert outs[0] == outs[1] == outs[2]

@@ -71,6 +71,31 @@ def main() -> int:
             print(f"FAIL {name}: columns {scols} vs {dcols}")
             failures += 1
             continue
+        # coarse dtype compatibility (int32 vs int64 etc. would fail a strict
+        # schema hash): map both sides to {int32,int64,float,str,other}
+        spark_kind = {
+            "int": "int32", "bigint": "int64", "double": "float",
+            "float": "float", "string": "str", "decimal": "other",
+        }
+        duck_kind = {
+            "INTEGER": "int32", "BIGINT": "int64", "HUGEINT": "hugeint",
+            "DOUBLE": "float", "FLOAT": "float", "VARCHAR": "str",
+        }
+        skinds = {
+            f.name: spark_kind.get(f.dataType.simpleString().split("(")[0], "other")
+            for f in sdf.schema.fields
+        }
+        dkinds = {
+            d[0]: duck_kind.get(str(res.description[i][1]).split(".")[-1].upper(), None)
+            for i, d in enumerate(res.description)
+        }
+        type_notes = [
+            f"{c}: spark={skinds[c]}"
+            for c in scols
+            if dkinds.get(c) is not None and skinds[c] != dkinds[c]
+        ]
+        if type_notes:
+            print(f"WARN {name}: dtype mismatch {type_notes}")
         s2 = sorted(tuple(r[i] for i in sidx) for r in srows)
         d2 = sorted(tuple(r[i] for i in didx) for r in drows)
         if len(s2) != len(d2):
