@@ -354,10 +354,34 @@ def wand_topk(
     spark = queries.sparkSession
 
     qt = query_terms(queries, qid_col, query_col)
+
+    # the query's term set is tiny and known up front — push it as a literal
+    # IN() into the block scan (parquet row-group + dictionary-page skipping)
+    # and prune bucket partitions (the persisted layout is partitionBy(bucket),
+    # so whole directories are skipped). O(#query-terms) driver work only.
+    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    blocks = seg.blocks
+    if 0 < len(terms) <= 10_000:
+        blocks = blocks.filter(F.col("term").isin(terms))
+        if "bucket" in blocks.columns:
+            buckets = sorted(
+                {
+                    r["b"]
+                    for r in spark.createDataFrame([(t,) for t in terms], ["term"])
+                    .select(
+                        F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets))
+                        .cast("int")
+                        .alias("b")
+                    )
+                    .collect()
+                }
+            )
+            blocks = blocks.filter(F.col("bucket").isin(buckets))
+
     qt_idf = seg.dictionary.join(F.broadcast(qt), "term").select(
         "qid", "term", "qtf", "idf"
     )
-    cand = seg.blocks.join(F.broadcast(qt_idf), "term").withColumn(
+    cand = blocks.join(F.broadcast(qt_idf), "term").withColumn(
         "w", F.col("qtf") * F.col("idf") * F.lit(k1 + 1.0)
     )
     n_part = num_partitions or min(

@@ -48,6 +48,32 @@ def read_trec_run(spark: SparkSession, path: str, top_k: int | None = None) -> D
     return out
 
 
+def write_msmarco_run(results: DataFrame, path: str) -> None:
+    """msmarco result format: ``qid\\tdocid\\trank`` — the shape Anserini's
+    SearchCollection -format msmarco emits and BM25Retriever._prepare_result
+    parses back (modeling_bm25.py:81-89,131)."""
+    results.select(
+        F.concat_ws(
+            "\t",
+            F.col("qid").cast("string"),
+            F.col("docid").cast("string"),
+            F.col("rank").cast("string"),
+        ).alias("line")
+    ).coalesce(1).write.mode("overwrite").text(path)
+
+
+def read_msmarco_run(spark: SparkSession, path: str) -> DataFrame:
+    """→ (qid, docid, rank). The reference collects these into
+    {qid: [docid,...]} rank-ordered; groupBy+sort_array reproduces that."""
+    df = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t")
+    return df.select(
+        parts.getItem(0).alias("qid"),
+        parts.getItem(1).alias("docid"),
+        parts.getItem(2).cast("int").alias("rank"),
+    )
+
+
 def write_sharded_collection(
     corpus: DataFrame,
     path: str,

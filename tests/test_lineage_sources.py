@@ -166,3 +166,14 @@ def test_multimodal_plumbing(spark):
     assert vid_ids and all(
         r["frame_ts_ms"] % 250 == 0 for r in frames.collect()
     )
+
+
+def test_msmarco_roundtrip(spark, tmproot):
+    from flagembedding_spark.sources.trec import read_msmarco_run, write_msmarco_run
+
+    rows = [("q1", 7, 3.25, 1), ("q1", 9, 1.5, 2), ("q2", 3, 0.125, 1)]
+    res = spark.createDataFrame(rows, "qid string, docid long, score double, rank int")
+    write_msmarco_run(res, f"{tmproot}/ms")
+    back = read_msmarco_run(spark, f"{tmproot}/ms")
+    got = sorted((r["qid"], int(r["docid"]), r["rank"]) for r in back.collect())
+    assert got == sorted((q, d, rk) for q, d, _, rk in rows)
