@@ -11,7 +11,7 @@ Env:
   SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1
   SPARK_GRAFT_CPUS     default 32
   FES_BENCH_DOCS       synthetic corpus size for the throughput run (default 200000)
-  FES_SCALING_DOCS     corpus size for the N-vs-4N run (default 600000 — large
+  FES_SCALING_DOCS     corpus size for the N-vs-4N run (default 400000 — large
                        enough that fixed job overheads don't skew the ratio)
   FES_SCALING          set to 0 to skip the two-parallelism run
   FES_SCALING_FULL     set to 1 to also run the (8, 32) supplementary pair
@@ -100,9 +100,9 @@ def build_and_query_once(spark: SparkSession, n_docs: int, partitions: int):
 
 
 def run_at_parallelism(cores: int, n_docs: int, warmup: bool = True,
-                       reps: int = 2) -> dict:
+                       reps: int = 3) -> dict:
     """One parallelism level. A warmup build (1/8 size) JIT-compiles the JVM
-    before the measured runs; best-of-``reps`` damps page-cache/JIT noise —
+    before the measured runs; best-of-``reps`` (3) damps page-cache/JIT noise —
     both required for a fair N-vs-4N comparison."""
     spark = get_spark(
         f"fes-bench-{cores}", master=f"local[{cores}]",
@@ -279,7 +279,7 @@ def main() -> None:
     # top level (~0.6), which is a host artifact, not an engine property.
     scaling = None
     if do_scaling:
-        scaling_docs = int(os.environ.get("FES_SCALING_DOCS", "600000"))
+        scaling_docs = int(os.environ.get("FES_SCALING_DOCS", "400000"))
         scaling = scaling_run(scaling_docs, pairs=(2, 8))
         timings["scaling_local2_build"] = scaling["local2"]["build_sec"]
         timings["scaling_local8_build"] = scaling["local8"]["build_sec"]
