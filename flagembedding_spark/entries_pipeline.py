@@ -765,3 +765,30 @@ PIPELINE_ORACLE_SQL.update(
         "query_instruction": _instruction_sql(),
     }
 )
+
+
+def q_content_sha_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row invariant (BASELINE.json.input_hint): sha256(content) equality
+    index ↔ source, through the real build pipeline. Emits one row per doc
+    with the verdict so the oracle can check every row, plus the count of
+    mismatches (must be 0)."""
+    from flagembedding_spark.operators.index_build import verify_content_sha
+
+    idx = build_doc_index(spark, sf_dir)
+    n_bad = verify_content_sha(
+        idx, _docs(spark, sf_dir), content_col="text",
+        docid_str=F.col("doc_id").cast("string"),
+    )
+    return idx.doc_stats.select(
+        F.col("docid"),
+        F.col("content_sha256").alias("sha"),
+        F.lit(int(n_bad)).cast("long").alias("total_mismatches"),
+    )
+
+
+PIPELINE_ENTRIES["content_sha_invariant"] = q_content_sha_invariant
+PIPELINE_ORACLE_SQL["content_sha_invariant"] = """
+SELECT doc_id AS docid, sha256(text) AS sha,
+       CAST(0 AS BIGINT) AS total_mismatches
+FROM documents
+"""
