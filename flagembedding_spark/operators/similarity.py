@@ -179,6 +179,85 @@ def hyperplane_signatures(
     ).drop("_ts")
 
 
+def ivf_assign(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 733,
+    nprobe: int = 1,
+    out_col: str = "cell",
+) -> DataFrame:
+    """IVF-style cell assignment: nearest of n_cells seeded unit centroids
+    (kmeans-free variant — centroids are deterministic random directions; on
+    a real deployment swap in trained centroids, the plumbing is identical).
+    With nprobe>1 each row is EXPLODED to its nprobe nearest cells (the
+    query-side multi-probe). JVM expressions only."""
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_cells, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    dots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in cents[c]]),
+                    lambda x, p: x.cast("double") * p,
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            for c in range(n_cells)
+        ]
+    )
+    pairs = F.zip_with(
+        dots,
+        F.sequence(F.lit(0), F.lit(n_cells - 1)),
+        lambda d, i: F.struct(d.alias("dot"), i.alias("cell")),
+    )
+    ranked = F.reverse(F.array_sort(pairs))  # struct sort: dot asc → reverse
+    if nprobe <= 1:
+        return df.withColumn(out_col, ranked[0]["cell"])
+    probes = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cell"])
+    return df.withColumn(out_col, F.explode(probes))
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    qid_col: str = "vec_id",
+    cid_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 733,
+) -> DataFrame:
+    """IVF approximate top-k: corpus assigned to cells once (at 10^12 scale:
+    materialized partitioned-by-cell); queries probe their nprobe nearest
+    cells; exact cosine rescoring inside probed cells."""
+    dim = len(corpus.select(vec_col).first()[0])
+    ccell = ivf_assign(
+        corpus.select(F.col(cid_col).alias("docid"), F.col(vec_col).alias("cv")),
+        dim, n_cells, "cv", seed, nprobe=1,
+    )
+    qcell = ivf_assign(
+        queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("qv")),
+        dim, n_cells, "qv", seed, nprobe=nprobe,
+    )
+    cand = ccell.join(F.broadcast(qcell), "cell").select(
+        "qid",
+        "docid",
+        (_dot("qv", "cv") / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("docid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "docid", "cosine", "rank")
+    )
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -80,3 +80,26 @@ def test_lsh_recall_vs_brute(spark, emb, brute):
         total += len(wl)
         hits += len(got.get(qid, set()) & {d for d, _ in wl})
     assert hits / total >= 0.6, f"LSH recall {hits/total:.2f}"
+
+
+def test_ivf_recall_and_monotonicity(spark, emb, brute):
+    from flagembedding_spark.operators.similarity import ivf_cosine_topk
+
+    ids, m = brute
+    q = emb.filter("vec_id < 20")
+    c = emb.filter("vec_id >= 20")
+    want = _want_topk(ids, m, ids < 20, ids >= 20, 5)
+
+    def recall(nprobe):
+        got = {}
+        for r in ivf_cosine_topk(q, c, k=5, n_cells=16, nprobe=nprobe).collect():
+            got.setdefault(r["qid"], set()).add(r["docid"])
+        hits = sum(
+            len(got.get(qid, set()) & {d for d, _ in wl}) for qid, wl in want.items()
+        )
+        return hits / sum(len(wl) for wl in want.values())
+
+    r4, r8 = recall(4), recall(8)
+    assert r4 >= 0.40, r4
+    assert r8 >= 0.65, r8
+    assert r8 >= r4  # probing more cells never hurts
