@@ -99,11 +99,22 @@ def build_and_query_once(spark: SparkSession, n_docs: int, partitions: int):
     return t_build, t_query, n_postings, n_res, phase
 
 
+def _steal_jiffies() -> int:
+    """Hypervisor steal-time counter — this sandbox is a VM on a possibly
+    overcommitted host, and a steal spike during one leg is the main way the
+    N-vs-4N ratio gets corrupted. Recorded per rep so noise is auditable."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
 def run_at_parallelism(cores: int, n_docs: int, warmup: bool = True,
-                       reps: int = 3) -> dict:
-    """One parallelism level. A warmup build (1/8 size) JIT-compiles the JVM
-    before the measured runs; best-of-``reps`` (3) damps page-cache/JIT noise —
-    both required for a fair N-vs-4N comparison."""
+                       reps: int = 1) -> dict:
+    """One parallelism level: warmup build (1/8 size, JIT-compiles the JVM)
+    then ``reps`` measured runs, keeping the best. The interleaving across
+    levels (see scaling_run) is what damps slow ambient-load drift."""
     spark = get_spark(
         f"fes-bench-{cores}", master=f"local[{cores}]",
         shuffle_partitions=max(cores, 8),
@@ -115,12 +126,14 @@ def run_at_parallelism(cores: int, n_docs: int, warmup: bool = True,
         t_build, t_query, t_pass, n_postings = (
             float("inf"), float("inf"), float("inf"), 0,
         )
+        steal0 = _steal_jiffies()
         for _ in range(max(reps, 1)):
             tb, tq, n_postings, _, phase = build_and_query_once(
                 spark, n_docs, partitions=max(cores * 2, 16)
             )
             t_build, t_query = min(t_build, tb), min(t_query, tq)
             t_pass = min(t_pass, phase.get("corpus_pass_sec", tb))
+        steal_sec = (_steal_jiffies() - steal0) / 100.0
     finally:
         spark.stop()
     return {
@@ -130,6 +143,7 @@ def run_at_parallelism(cores: int, n_docs: int, warmup: bool = True,
         "query_sec": round(t_query, 3),
         "files_per_sec": round(n_docs / t_pass, 1),
         "postings": n_postings,
+        "steal_sec": round(steal_sec, 2),
     }
 
 
@@ -140,55 +154,98 @@ def _scaling_worker(cores: int, n_docs: int) -> None:
     starts (inherited by the JVM and its forked Python workers). Without the
     pin, a mapInArrow pipeline at local[N] runs N JVM task threads PLUS N
     Python workers — consuming up to 2N cores and silently flattering the
-    low-parallelism leg of the N-vs-4N comparison.
+    low-parallelism leg of the N-vs-4N comparison. Pins to the HIGHEST
+    ``cores`` CPUs (kernel housekeeping and IRQs favor CPU 0), verifies the
+    pin took effect, and records it — a silent pinning failure corrupted a
+    prior measurement.
     """
+    n_cpu = os.cpu_count() or cores
+    want = set(range(max(n_cpu - cores, 0), n_cpu))
+    pinned = False
     try:
-        os.sched_setaffinity(0, set(range(cores)))
+        os.sched_setaffinity(0, want)
+        pinned = os.sched_getaffinity(0) == want
     except (AttributeError, OSError):
-        pass
-    print("SCALING_RESULT " + json.dumps(run_at_parallelism(cores, n_docs)))
+        pinned = False
+    res = run_at_parallelism(cores, n_docs)
+    res["pinned"] = pinned
+    res["cpu_set"] = sorted(want) if pinned else sorted(os.sched_getaffinity(0))
+    print("SCALING_RESULT " + json.dumps(res))
 
 
-def scaling_run(n_docs: int, pairs: tuple[int, int] = (2, 8)) -> dict:
-    """North-rule evidence: identical job at N and 4N cores, each in a FRESH
-    python/JVM process (spark.stop() keeps the JVM alive in-process, so
-    sequential in-process sessions would share JIT warmup and skew results)."""
+def _run_leg(cores: int, n_docs: int) -> dict:
     import subprocess
 
-    results = {}
-    for cores in pairs:
-        cmd = [
-            sys.executable, "-c",
-            (
-                "import sys; sys.path.insert(0, %r); "
-                "from bench import _scaling_worker; _scaling_worker(%d, %d)"
-            ) % (os.path.dirname(os.path.abspath(__file__)), cores, n_docs),
-        ]
-        env = dict(os.environ)
-        out = subprocess.run(cmd, capture_output=True, text=True, env=env)
-        line = next(
-            (ln for ln in out.stdout.splitlines() if ln.startswith("SCALING_RESULT ")),
-            None,
-        )
-        if line is None:
-            raise RuntimeError(f"scaling worker {cores} failed: {out.stderr[-2000:]}")
-        results[cores] = json.loads(line[len("SCALING_RESULT "):])
+    cmd = [
+        sys.executable, "-c",
+        (
+            "import sys; sys.path.insert(0, %r); "
+            "from bench import _scaling_worker; _scaling_worker(%d, %d)"
+        ) % (os.path.dirname(os.path.abspath(__file__)), cores, n_docs),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, env=dict(os.environ))
+    line = next(
+        (ln for ln in out.stdout.splitlines() if ln.startswith("SCALING_RESULT ")),
+        None,
+    )
+    if line is None:
+        raise RuntimeError(f"scaling worker {cores} failed: {out.stderr[-2000:]}")
+    return json.loads(line[len("SCALING_RESULT "):])
+
+
+def scaling_run(n_docs: int, pairs: tuple[int, int] = (2, 8),
+                reps: int = 3) -> dict:
+    """North-rule evidence: identical job at N and 4N cores, each leg in a
+    FRESH python/JVM process (spark.stop() keeps the JVM alive in-process, so
+    sequential in-process sessions would share JIT warmup and skew results).
+
+    The legs are INTERLEAVED (lo, hi, lo, hi, ...) ``reps`` times and every
+    rep is recorded: ambient load / hypervisor steal on this shared box moves
+    slowly, so adjacent reps see similar conditions and best-of-reps per leg
+    dodges transient spikes — this makes the single driver invocation itself
+    noise-robust instead of relying on an out-of-band protocol."""
+    rep_rows: list[dict] = []
+    best: dict[int, dict] = {}
+    for r in range(max(reps, 1)):
+        row = {}
+        for cores in pairs:
+            res = _run_leg(cores, n_docs)
+            row[f"local{cores}"] = res
+            cur = best.get(cores)
+            if cur is None or res["corpus_pass_sec"] < cur["corpus_pass_sec"]:
+                best[cores] = res
+        lo_t = row[f"local{pairs[0]}"]["corpus_pass_sec"]
+        hi_t = row[f"local{pairs[1]}"]["corpus_pass_sec"]
+        row["efficiency"] = round((lo_t / hi_t) / (pairs[1] / pairs[0]), 3)
+        rep_rows.append(row)
     lo, hi = pairs
     ratio = hi / lo
-    speedup = results[lo]["corpus_pass_sec"] / results[hi]["corpus_pass_sec"]
-    speedup_total = results[lo]["build_sec"] / results[hi]["build_sec"]
+    speedup = best[lo]["corpus_pass_sec"] / best[hi]["corpus_pass_sec"]
+    speedup_total = best[lo]["build_sec"] / best[hi]["build_sec"]
     return {
-        f"local{lo}": results[lo],
-        f"local{hi}": results[hi],
+        f"local{lo}": best[lo],
+        f"local{hi}": best[hi],
+        "reps": len(rep_rows),
+        "per_rep": [
+            {
+                f"local{lo}_pass_sec": r[f"local{lo}"]["corpus_pass_sec"],
+                f"local{hi}_pass_sec": r[f"local{hi}"]["corpus_pass_sec"],
+                f"local{lo}_steal_sec": r[f"local{lo}"]["steal_sec"],
+                f"local{hi}_steal_sec": r[f"local{hi}"]["steal_sec"],
+                "efficiency": r["efficiency"],
+            }
+            for r in rep_rows
+        ],
+        "pinned": bool(best[lo].get("pinned") and best[hi].get("pinned")),
         "speedup": round(speedup, 3),
         "efficiency": round(speedup / ratio, 3),
         "speedup_total_incl_finalize": round(speedup_total, 3),
         "efficiency_total_incl_finalize": round(speedup_total / ratio, 3),
         "rule": (
             f"efficiency = (T_{lo}/T_{hi}) / ({hi}/{lo}) over the corpus-pass "
-            "phase (tokenize+count+persist — the per-executor data plane); "
-            "the *_total_* figures include the per-snapshot finalize jobs; "
-            "target >= 0.8"
+            "phase (tokenize+count+persist — the per-executor data plane), "
+            "best-of-interleaved-reps per leg; the *_total_* figures include "
+            "the per-snapshot finalize jobs; target >= 0.8"
         ),
     }
 
@@ -202,6 +259,28 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total0 = time.perf_counter()
+
+    # --- north-rule scaling evidence FIRST: same job at N and 4N CPUs,
+    # fresh JVM per leg, warmup inside each, CPU-affinity-pinned so each
+    # level really gets exactly N cores (JVM + Python workers included).
+    # Runs before any other phase so no parent JVM / page-cache residue from
+    # the heavyweight phases can perturb it.
+    #
+    # Primary pair is (2, 8): both levels sit below this single-socket box's
+    # memory-bandwidth ceiling, so the ratio reflects the compute scaling a
+    # multi-node cluster would see (each added executor brings its own memory
+    # controllers and disks). The (8, 32) pair is reported when
+    # FES_SCALING_FULL=1 — on one socket it saturates shared bandwidth at the
+    # top level (~0.6), which is a host artifact, not an engine property.
+    scaling = None
+    if do_scaling:
+        scaling_docs = int(os.environ.get("FES_SCALING_DOCS", "400000"))
+        scaling_reps = int(os.environ.get("FES_SCALING_REPS", "3"))
+        scaling = scaling_run(scaling_docs, pairs=(2, 8), reps=scaling_reps)
+        timings["scaling_local2_build"] = scaling["local2"]["build_sec"]
+        timings["scaling_local8_build"] = scaling["local8"]["build_sec"]
+        if os.environ.get("FES_SCALING_FULL") == "1":
+            scaling["pair_8_32"] = scaling_run(n_docs, pairs=(8, 32), reps=1)
 
     # --- headline: index build + query over the driver's documents table ---
     spark = get_spark("fes-bench", master=f"local[{cpus}]",
@@ -266,25 +345,6 @@ def main() -> None:
         "synth_postings": n_postings,
         "synth_files_per_sec": round(n_docs / t_build, 1),
     }
-
-    # --- north-rule scaling evidence: same job at N and 4N CPUs, fresh JVM
-    # per level, warmup inside each, CPU-affinity-pinned so each level really
-    # gets exactly N cores (JVM + Python workers included).
-    #
-    # Primary pair is (2, 8): both levels sit below this single-socket box's
-    # memory-bandwidth ceiling, so the ratio reflects the compute scaling a
-    # multi-node cluster would see (each added executor brings its own memory
-    # controllers and disks). The (8, 32) pair is reported when
-    # FES_SCALING_FULL=1 — on one socket it saturates shared bandwidth at the
-    # top level (~0.6), which is a host artifact, not an engine property.
-    scaling = None
-    if do_scaling:
-        scaling_docs = int(os.environ.get("FES_SCALING_DOCS", "400000"))
-        scaling = scaling_run(scaling_docs, pairs=(2, 8))
-        timings["scaling_local2_build"] = scaling["local2"]["build_sec"]
-        timings["scaling_local8_build"] = scaling["local8"]["build_sec"]
-        if os.environ.get("FES_SCALING_FULL") == "1":
-            scaling["pair_8_32"] = scaling_run(n_docs, pairs=(8, 32))
 
     total = time.perf_counter() - total0
     out = {

@@ -117,9 +117,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed through the LSH SCALE PATH (hyperplane-bucket candidates →
+    exact cosine rescore), not the O(n²) self-join — the oracle's exact SQL
+    still matches because the (24 tables × 3 planes) S-curve recalls every
+    pair at this threshold on this fixture, verified in tests."""
     from flagembedding_spark.operators.dedup import embedding_neardup_pairs
 
-    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=COS_NEARDUP_T)
+    return embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold=COS_NEARDUP_T, method="lsh"
+    )
 
 
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,3 +798,196 @@ SELECT doc_id AS docid, sha256(text) AS sha,
        CAST(0 AS BIGINT) AS total_mismatches
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# T5 full Unicode normalization + T6 Unicode word tokenizer + MKQA-fidelity
+# answer containment (normalize_text.py:29-162, compute_metrics.py:10-48)
+# ---------------------------------------------------------------------------
+
+# non-ASCII fixture: composed vs decomposed accents, curly apostrophe,
+# em-dash, ellipsis, case — each exercising one normalization rule
+DOCS_UNI: list[tuple[int, str]] = [
+    (1, "Le Café de Flore"),            # composed e-acute
+    (2, "Le Café de Flore"),           # decomposed e + combining acute
+    (3, "Zürich’s finest — truly"),  # curly apostrophe, em dash
+    (4, "no match here at all"),
+    (5, "ANSWER: QUICK-FOX jumps"),
+    (6, "watch x … y run"),             # ellipsis
+]
+ANSWERS_UNI: list[tuple[str, str]] = [
+    ("u1", "café"),     # NFD unifies composed/decomposed -> docs 1,2
+    ("u1", "flore bar"),     # second answer per qid (no hit)
+    ("u2", "zürich's"), # char map unifies apostrophes -> doc 3
+    ("u3", "quick-fox"),     # uncased + hyphen tokens -> doc 5
+    ("u4", "x ... y"),       # ellipsis expands to dots -> doc 6
+    ("u5", "zzz missing"),   # no hit anywhere
+]
+RESULTS_UNI: list[tuple[str, int, int]] = [
+    (qid, docid, docid)  # rank == docid for the fixture
+    for qid in ("u1", "u2", "u3", "u4", "u5")
+    for docid, _ in DOCS_UNI
+]
+
+
+def _docs_uni_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(DOCS_UNI, "doc_id long, text string")
+
+
+def q_normalize_text_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 character normalization as pure JVM expressions over the
+    non-ASCII fixture."""
+    from flagembedding_spark.functions.unicode_norm import normalize_chars
+
+    return _docs_uni_df(spark).select(
+        F.col("doc_id").alias("docid"), normalize_chars("text").alias("norm")
+    )
+
+
+def q_token_counts_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 Unicode word tokenizer (letter/number/mark runs + single visible
+    chars) over the documents table — JVM regexp, Java \\p classes."""
+    from flagembedding_spark.functions.unicode_norm import (
+        alpha_num_tokens,
+        simple_word_tokens,
+    )
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(simple_word_tokens("text")).alias("n_tokens"),
+        F.size(alpha_num_tokens("text")).alias("n_words"),
+    )
+
+
+def q_qa_containment_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MKQA-fidelity containment over the non-ASCII fixture: T5 char
+    normalization corpus-side, NFD + Unicode tokenize + uncased subsequence
+    match eval-side."""
+    from flagembedding_spark.operators.qa import answer_containment_unicode
+
+    results = spark.createDataFrame(
+        RESULTS_UNI, "qid string, docid long, rank long"
+    )
+    answers = spark.createDataFrame(ANSWERS_UNI, "qid string, answer string")
+    return answer_containment_unicode(
+        results.withColumnRenamed("docid", "r_docid").selectExpr(
+            "qid", "r_docid AS docid", "rank"
+        ),
+        answers,
+        _docs_uni_df(spark),
+    )
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _norm_chars_sql(col: str) -> str:
+    """DuckDB twin of unicode_norm.normalize_chars, generated from the SAME
+    constants (translate + literal replaces; control chars are excluded from
+    the SQL literal — the fixture is printable)."""
+    from flagembedding_spark.functions.unicode_norm import (
+        DOUBLE_QUOTES,
+        HYPHENS_MINUSES,
+        PRIME_MAP,
+        SINGLE_QUOTES,
+        SLASHES,
+        SPACE_CONTROLS,
+        SOFT_HYPHEN,
+    )
+
+    frm = (SPACE_CONTROLS.replace("\x0b", "").replace("\x0c", "")
+           + HYPHENS_MINUSES + DOUBLE_QUOTES + SINGLE_QUOTES + SLASHES
+           + SOFT_HYPHEN)
+    to = (" " * 1  # NEL only (the two ASCII space-controls dropped above)
+          + "-" * len(HYPHENS_MINUSES) + '"' * len(DOUBLE_QUOTES)
+          + "'" * len(SINGLE_QUOTES) + "/" * len(SLASHES))
+    e = f"translate({col}, {_sql_quote(frm)}, {_sql_quote(to)})"
+    for src, dst in PRIME_MAP.items():
+        e = f"replace({e}, {_sql_quote(src)}, {_sql_quote(dst)})"
+    e = f"replace({e}, {_sql_quote(chr(0x2026))}, '...')"
+    e = f"replace({e}, ' . . . ', ' ... ')"
+    return e
+
+
+def _docs_uni_values() -> str:
+    rows = ", ".join(
+        f"({i}, {_sql_quote(t)})" for i, t in DOCS_UNI
+    )
+    return f"(VALUES {rows}) AS d(doc_id, text)"
+
+
+def _normalize_text_full_sql() -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS docid, {_norm_chars_sql('text')} AS norm
+FROM {_docs_uni_values()}
+"""
+
+
+def _token_counts_unicode_sql() -> str:
+    from flagembedding_spark.functions.unicode_norm import (
+        ALPHA_NUM_RE,
+        SIMPLE_TOKEN_RE,
+    )
+
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, {_sql_quote(SIMPLE_TOKEN_RE)})) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, {_sql_quote(ALPHA_NUM_RE)})) AS INT) AS n_words
+FROM documents
+"""
+
+
+def _qa_containment_unicode_sql() -> str:
+    """Containment via the separator-join trick: tokens never contain
+    chr(31) (a control char, excluded by the tokenizer), so token-subsequence
+    match == substring match on chr(31)-joined token strings. NFC on both
+    sides is equivalence-identical to the engine's NFD (canonical forms)."""
+    from flagembedding_spark.functions.unicode_norm import SIMPLE_TOKEN_RE
+
+    tok = _sql_quote(SIMPLE_TOKEN_RE)
+    avals = ", ".join(
+        f"({_sql_quote(q)}, {_sql_quote(a)})" for q, a in ANSWERS_UNI
+    )
+    rvals = ", ".join(
+        f"({_sql_quote(q)}, {d}, {r})" for q, d, r in RESULTS_UNI
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         chr(31) || array_to_string(
+           regexp_extract_all(lower(nfc_normalize({_norm_chars_sql('text')})), {tok}),
+           chr(31)) || chr(31) AS ttoks
+  FROM {_docs_uni_values()}
+),
+ans AS (
+  SELECT qid,
+         chr(31) || array_to_string(
+           regexp_extract_all(lower(nfc_normalize(answer)), {tok}),
+           chr(31)) || chr(31) AS atoks
+  FROM (VALUES {avals}) AS a(qid, answer)
+),
+res(qid, docid, rank) AS (VALUES {rvals})
+SELECT r.qid AS qid, CAST(r.docid AS BIGINT) AS docid,
+       CAST(r.rank AS BIGINT) AS rank,
+       max(CASE WHEN strpos(d.ttoks, a.atoks) > 0 THEN 1 ELSE 0 END) AS contains
+FROM res r JOIN docs d ON r.docid = d.doc_id JOIN ans a ON a.qid = r.qid
+GROUP BY 1, 2, 3
+"""
+
+
+PIPELINE_ENTRIES.update(
+    {
+        "normalize_text_full": q_normalize_text_full,
+        "token_counts_unicode": q_token_counts_unicode,
+        "qa_containment_unicode": q_qa_containment_unicode,
+    }
+)
+
+PIPELINE_ORACLE_SQL.update(
+    {
+        "normalize_text_full": _normalize_text_full_sql(),
+        "token_counts_unicode": _token_counts_unicode_sql(),
+        "qa_containment_unicode": _qa_containment_unicode_sql(),
+    }
+)

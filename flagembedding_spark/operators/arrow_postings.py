@@ -18,7 +18,10 @@ matches the reference's enumeration-order docids
 (modeling_bm25.py:163 ``for i, doc in enumerate(corpus)``) and requires no
 shuffle — but does require the input's partition layout to be deterministic
 between the two passes (true for file scans and spark.range; both jobs plan
-identical splits).
+identical splits). The map stage VERIFIES this: each partition re-counts its
+rows against the offsets job's count and raises on any drift (and on rows in
+a partition the counting pass never saw), so a non-deterministic source or
+an AQE replan fails loudly instead of silently mis-assigning docids.
 
 Tokenization here is Python's ``str.split(" ")`` — *identical by definition*
 to the reference oracle's tokenizer (T1). Stop tokens are removed from tf/df
@@ -66,8 +69,11 @@ _ARROW_SCHEMA = pa.schema(
 )
 
 
-def partition_offsets(df: DataFrame) -> dict[int, int]:
-    """Rows-per-partition → cumulative offsets. One tiny collect (O(#parts))."""
+def partition_offsets(df: DataFrame) -> tuple[dict[int, int], dict[int, int]]:
+    """Rows-per-partition → (cumulative offsets, per-partition counts).
+    One tiny collect (O(#parts)). The counts are re-verified inside the map
+    stage so any layout drift between the two jobs fails loudly instead of
+    silently mis-assigning docids."""
     rows = (
         df.select(F.spark_partition_id().alias("_pid"))
         .groupBy("_pid")
@@ -79,7 +85,31 @@ def partition_offsets(df: DataFrame) -> dict[int, int]:
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    return offsets
+    return offsets, counts
+
+
+def grouped_partition_offsets(
+    df: DataFrame, group_col: str
+) -> tuple[dict[tuple[int, int], int], dict[tuple[int, int], int]]:
+    """Per-(partition, group) → (offset within the GROUP's own dense id
+    space, count). Each group's ids run 0..n_group−1 cumulatively over
+    partition ids, so (group << B) | local never collides and is dense per
+    group. One collect of O(#parts × #groups) tiny rows."""
+    rows = (
+        df.select(
+            F.spark_partition_id().alias("_pid"), F.col(group_col).alias("_g")
+        )
+        .groupBy("_pid", "_g")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    counts = {(r["_pid"], r["_g"]): r["cnt"] for r in rows}
+    offsets: dict[tuple[int, int], int] = {}
+    acc: dict[int, int] = {}
+    for pid, g in sorted(counts):
+        offsets[(pid, g)] = acc.get(g, 0)
+        acc[g] = acc.get(g, 0) + counts[(pid, g)]
+    return offsets, counts
 
 
 def tokenize_count_stream(
@@ -87,14 +117,29 @@ def tokenize_count_stream(
     config: BM25Config,
     content_col: str = "content",
     docid_str: F.Column | None = None,
+    group_expr: F.Column | None = None,
+    max_local: int | None = None,
 ) -> DataFrame:
     """corpus → unified stream of postings rows (term NOT NULL) and doc-stats
-    rows (term NULL, carrying content_sha256). Zero shuffles."""
+    rows (term NULL, carrying content_sha256). Zero shuffles.
+
+    ``group_expr`` (evaluated over the slim (docid_str, content) frame, e.g.
+    a hash-chunk of docid_str): docids become DENSE PER GROUP — each group's
+    ids run 0..n_group−1 in insertion order — so a caller composing
+    (group << B) | docid gets ids that are independent of which other groups
+    were built in the same pass (resumable-build stability). ``max_local``
+    bounds the per-group id and raises past it (overflow into the group
+    bits)."""
     from flagembedding_spark.operators.index_build import docid_expr
 
     did = docid_str if docid_str is not None else docid_expr()
     slim = corpus.select(did.alias("docid_str"), F.col(content_col).alias("content"))
-    offsets = partition_offsets(slim)
+    grouped = group_expr is not None
+    if grouped:
+        slim = slim.withColumn("_grp", group_expr)
+        offsets, expected_counts = grouped_partition_offsets(slim, "_grp")
+    else:
+        offsets, expected_counts = partition_offsets(slim)
     stop = set(config.stop_tokens)
 
     max_out_rows = 262_144  # bound per-batch memory (an input batch of 10k
@@ -104,7 +149,7 @@ def tokenize_count_stream(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        next_id = offsets.get(pid, 0)
+        seen: dict = {}  # offsets key → rows emitted so far in this task
         o_docid, o_str, o_term, o_tf, o_dl, o_sha = [], [], [], [], [], []
 
         def flush():
@@ -126,9 +171,30 @@ def tokenize_count_stream(
         for batch in batches:
             ids = batch.column("docid_str").to_pylist()
             texts = batch.column("content").to_pylist()
-            for key, text in zip(ids, texts):
-                docid = next_id
-                next_id += 1
+            grps = batch.column("_grp").to_pylist() if grouped else None
+            for i, (key, text) in enumerate(zip(ids, texts)):
+                okey = (pid, grps[i]) if grouped else pid
+                base = offsets.get(okey)
+                if base is None:
+                    # rows in a partition/group the counting pass never saw:
+                    # the two jobs planned different splits — docids would
+                    # collide with another range. Fail loudly.
+                    raise RuntimeError(
+                        f"docid assignment: partition key {okey} has rows but "
+                        "no offset from the counting pass — input partition "
+                        "layout drifted between the offsets job and the map "
+                        "job (non-deterministic source / AQE replan / "
+                        "concurrent write?)"
+                    )
+                local = seen.get(okey, 0)
+                seen[okey] = local + 1
+                docid = base + local
+                if max_local is not None and docid >= max_local:
+                    raise RuntimeError(
+                        f"docid assignment: group-local id {docid} overflows "
+                        f"the {max_local} id space for key {okey} — raise "
+                        "the group-id bit budget or use more groups"
+                    )
                 toks = text.split(" ")
                 dl = len(toks)
                 cnt = Counter(toks)
@@ -150,6 +216,16 @@ def tokenize_count_stream(
                 o_sha.extend([None] * len(cnt))
                 if len(o_docid) >= max_out_rows:
                     yield flush()
+        my_expected = {
+            k: c for k, c in expected_counts.items()
+            if (k[0] if grouped else k) == pid
+        }
+        if seen != my_expected:
+            raise RuntimeError(
+                f"docid assignment: partition {pid} saw {seen} rows in the "
+                f"map stage but the counting pass recorded {my_expected} — "
+                "layout drift between the two jobs would mis-assign docids"
+            )
         if o_docid:
             yield flush()
 

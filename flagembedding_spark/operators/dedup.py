@@ -77,19 +77,51 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets, candidate-restricted to pairs sharing
     ≥1 shingle (the shingle bucket join). → (id_a, id_b, jaccard) with
-    id_a < id_b and jaccard ≥ threshold."""
+    id_a < id_b and jaccard ≥ threshold.
+
+    ``max_shingle_df`` is the 100 TB guard: a corpus-wide boilerplate shingle
+    (license header, codegen preamble) appearing in millions of docs turns
+    the shingle bucket join quadratic. With the cap set, shingles whose
+    document frequency exceeds it are excluded from CANDIDATE GENERATION
+    (they carry no discriminative signal — the stop-token pragmatics of the
+    index build), while the Jaccard verification still runs over the FULL
+    shingle sets, so any surviving pair's score is exact. Pairs that share
+    ONLY above-cap shingles are not emitted (documented recall trade)."""
     sh = token_shingles(df, n, text_col, id_col).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), "shingle")
-        .filter(F.col("x.id") < F.col("y.id"))
-        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    if max_shingle_df is None:
+        inter = (
+            sh.alias("x")
+            .join(sh.alias("y"), "shingle")
+            .filter(F.col("x.id") < F.col("y.id"))
+            .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        cold = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        cand_sh = sh.join(cold, "shingle")
+        cand = (
+            cand_sh.alias("x")
+            .join(cand_sh.alias("y"), "shingle")
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
+        inter = (
+            cand.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+            .join(sh.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
     return (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
@@ -136,10 +168,20 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     n_perms: int = 16,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature (rows = n_perms/bands), bucket-join on
     (band, band_key) → candidate pairs (id_a < id_b). Collision probability
-    for Jaccard s is 1-(1-s^r)^b — the standard LSH S-curve."""
+    for Jaccard s is 1-(1-s^r)^b — the standard LSH S-curve.
+
+    ``max_bucket`` is the 100 TB guard against hot band buckets: a bucket of
+    m near-identical docs (boilerplate files, vendored copies) would emit
+    m²/2 pairs — 10^12 pairs at m=1.4M. Buckets larger than the cap switch
+    to STAR candidates (bucket-min id ↔ every other member): candidate count
+    becomes linear in m and the duplicate CLUSTER stays connected through
+    the root, which is what dedup consumers (connected components / keep-one)
+    need; only non-root×non-root pairs inside oversized buckets are skipped.
+    Buckets at or under the cap are unchanged."""
     rows = n_perms // bands
     banded = signatures.withColumn("band", (F.col("perm") / rows).cast("int"))
     keys = banded.groupBy("id", "band").agg(
@@ -150,13 +192,30 @@ def lsh_candidate_pairs(
             )
         ).alias("band_key")
     )
-    return (
-        keys.alias("x")
-        .join(keys.alias("y"), ["band", "band_key"])
+    if max_bucket is None:
+        return (
+            keys.alias("x")
+            .join(keys.alias("y"), ["band", "band_key"])
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
+    stats = keys.groupBy("band", "band_key").agg(
+        F.count("*").alias("_cnt"), F.min("id").alias("_root")
+    )
+    keyed = keys.join(stats, ["band", "band_key"])
+    small = keyed.filter(F.col("_cnt") <= max_bucket)
+    pairs_small = (
+        small.alias("x")
+        .join(small.alias("y"), ["band", "band_key"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
     )
+    pairs_big = (
+        keyed.filter((F.col("_cnt") > max_bucket) & (F.col("id") != F.col("_root")))
+        .select(F.col("_root").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    return pairs_small.unionByName(pairs_big).distinct()
 
 
 def minhash_dedup(
@@ -167,12 +226,14 @@ def minhash_dedup(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band buckets →
     candidate pairs → EXACT Jaccard verification (no false positives).
-    → (id_a, id_b, jaccard ≥ threshold)."""
+    → (id_a, id_b, jaccard ≥ threshold). ``max_bucket`` caps hot band
+    buckets via star candidates (see lsh_candidate_pairs)."""
     sig = minhash_signatures(df, n_perms, n, text_col, id_col)
-    cand = lsh_candidate_pairs(sig, n_perms, bands)
+    cand = lsh_candidate_pairs(sig, n_perms, bands, max_bucket)
     sh = token_shingles(df, n, text_col, id_col)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     # count of shared shingles per candidate pair
@@ -274,9 +335,19 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
+    n_tables: int = 24,
+    planes_per_table: int = 3,
+    seed: int = 271,
 ) -> DataFrame:
-    """Cosine-threshold near-dup pairs. Sandbox-scale exact form (self-join);
-    the scale path buckets by hyperplane-LSH signs first (similarity.py)."""
+    """Cosine-threshold near-dup pairs → (id_a, id_b, cosine ≥ threshold).
+
+    method='lsh' (default — the scale path): candidates come from a
+    hyperplane-LSH bucket self-join (pairs colliding in ≥1 of L tables of r
+    sign bits), then EXACT cosine rescoring on candidates only — no false
+    positives, misses bounded by (1−p^r)^L with p = 1−θ/π. The corpus is
+    never theta-self-joined. method='exact' is the O(n²) self-join kept for
+    recall verification at sandbox scale."""
     def norm(c: Column) -> Column:
         return F.sqrt(
             F.aggregate(
@@ -294,13 +365,50 @@ def embedding_neardup_pairs(
         F.lit(0.0),
         lambda a, x: a + x,
     )
+    cosine = (dot / (F.col("x.nrm") * F.col("y.nrm"))).alias("cosine")
+    if method == "lsh":
+        from flagembedding_spark.operators.similarity import hyperplane_signatures
+
+        dim = len(df.select(vec_col).first()[0])
+        sig = hyperplane_signatures(
+            v.select("id", "v"), dim, n_tables, planes_per_table, "v", seed
+        ).select("id", "table", "sig")
+        cand = (
+            sig.alias("x")
+            .join(sig.alias("y"), ["table", "sig"])
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
+        scored = (
+            cand.join(
+                v.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                         F.col("nrm").alias("na")), "id_a")
+            .join(
+                v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                         F.col("nrm").alias("nb")), "id_b")
+            .select(
+                "id_a", "id_b",
+                (
+                    F.aggregate(
+                        F.zip_with("va", "vb",
+                                   lambda a, b_: a.cast("double") * b_.cast("double")),
+                        F.lit(0.0), lambda a, x: a + x,
+                    ) / (F.col("na") * F.col("nb"))
+                ).alias("cosine"),
+            )
+        )
+        return (
+            scored.filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        )
     return (
         v.alias("x")
         .join(v.alias("y"), F.col("x.id") < F.col("y.id"))
         .select(
             F.col("x.id").alias("id_a"),
             F.col("y.id").alias("id_b"),
-            (dot / (F.col("x.nrm") * F.col("y.nrm"))).alias("cosine"),
+            cosine,
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))

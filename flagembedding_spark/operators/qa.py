@@ -14,6 +14,7 @@
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolved by pandas_udf type-hint inference
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -50,6 +51,65 @@ def answer_containment(
         .join(F.broadcast(ans), "qid")
         .groupBy("qid", "docid", "rank")
         .agg(hit.alias("contains"))
+    )
+
+
+def answer_containment_unicode(
+    results: DataFrame,
+    answers: DataFrame,
+    corpus: DataFrame,
+    docid_col: str = "doc_id",
+    text_col: str = "text",
+    apply_char_norm: bool = True,
+) -> DataFrame:
+    """Full-fidelity MKQA containment: corpus text gets the T5 character
+    normalization at load (mkqa/data_loader.py:110,125 — JVM expressions),
+    then NFD + Unicode word tokenization + uncased token-subsequence match
+    (compute_metrics.py:33-48) inside an Arrow-batched pandas UDF (NFD has no
+    JVM builtin; this is the eval-side path, same as the reference).
+    → (qid, docid, rank, contains)."""
+    from pyspark.cloudpickle import register_pickle_by_value
+    from pyspark.sql.types import IntegerType
+
+    from flagembedding_spark.functions import unicode_norm
+    from flagembedding_spark.functions.unicode_norm import (
+        has_answer_py,
+        normalize_chars,
+    )
+
+    # executors don't have the repo on PYTHONPATH — ship the (pure-stdlib)
+    # containment helpers by value inside the UDF closure instead of by
+    # module reference
+    register_pickle_by_value(unicode_norm)
+
+    text_expr = (
+        normalize_chars(text_col) if apply_char_norm else F.col(text_col)
+    )
+    docs = corpus.select(
+        F.col(docid_col).alias("docid"), text_expr.alias("_text")
+    )
+    ans_agg = answers.groupBy("qid").agg(
+        F.sort_array(F.collect_list("answer")).alias("_answers")
+    )
+
+    @F.pandas_udf(IntegerType())
+    def _contains(answers_s: pd.Series, text_s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                1 if has_answer_py(list(a), t) else 0
+                for a, t in zip(answers_s, text_s)
+            ],
+            dtype="int32",
+        )
+
+    return (
+        results.select("qid", "docid", "rank")
+        .join(docs, "docid")
+        .join(F.broadcast(ans_agg), "qid")
+        .select(
+            "qid", "docid", "rank",
+            _contains("_answers", "_text").alias("contains"),
+        )
     )
 
 

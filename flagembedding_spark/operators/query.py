@@ -124,19 +124,22 @@ def reference_result_arrays(
             F.collect_list(F.struct("rank", "docid", "score"))
         ).alias("hits")
     )
+    # try_element_at: under ANSI mode (Spark 4 default) a plain element_at
+    # past the end of a short hit list throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    # — exactly the padding case this function exists for.
     pad = F.sequence(F.lit(1), F.lit(k))
     return agg.select(
         "qid",
         F.transform(
             pad,
             lambda i: F.coalesce(
-                F.element_at(F.col("hits"), i)["docid"], F.lit(-1)
+                F.try_element_at(F.col("hits"), i)["docid"], F.lit(-1)
             ),
         ).alias("docids"),
         F.transform(
             pad,
             lambda i: F.coalesce(
-                F.element_at(F.col("hits"), i)["score"],
+                F.try_element_at(F.col("hits"), i)["score"],
                 F.lit(float("-inf")),
             ),
         ).alias("scores"),

@@ -116,7 +116,12 @@ def _brute_numpy(queries, corpus, k, qid_col, cid_col, vec_col, round_scores):
             part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
             o_q, o_d, o_s = [], [], []
             for qi in range(sims.shape[0]):
-                for ci in part[qi]:
+                # emit EVERY candidate tied at the kth score (argpartition
+                # keeps an arbitrary tied subset) so the final
+                # (cosine DESC, docid ASC) window resolves ties
+                # deterministically — same contract as wand._topk_rows
+                kth = sims[qi, part[qi]].min()
+                for ci in np.flatnonzero(sims[qi] >= kth):
                     o_q.append(ids[qi])
                     o_d.append(int(docids[ci]))
                     o_s.append(float(sims[qi, ci]))

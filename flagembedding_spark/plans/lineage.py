@@ -148,9 +148,15 @@ def build_resumable(
         part = corpus.filter(
             F.pmod(F.xxhash64(did), F.lit(n_chunks)).cast("int").isin(wave)
         )
-        stream = tokenize_count_stream(part, config, content_col, did)
-        # chunk recoverable from the key; docid = chunk<<40 | wave-local id
-        # (unique: chunk bits differ across chunks, local bits within)
+        # grouped assignment: each chunk's local ids are DENSE from 0 in
+        # source order, independent of wave composition — a resumed build
+        # assigns the same docid VALUES as a single-shot build (given the
+        # same source layout), and local ids are asserted < 2^CHUNK_ID_BITS
+        # so chunk bits never collide.
+        stream = tokenize_count_stream(
+            part, config, content_col, did,
+            group_expr=chunk_of_key, max_local=1 << CHUNK_ID_BITS,
+        )
         stream = stream.withColumn("_chunk", chunk_of_key).withColumn(
             "docid",
             (F.col("_chunk").cast("long") * (1 << CHUNK_ID_BITS)) + F.col("docid"),

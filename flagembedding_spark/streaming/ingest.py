@@ -7,8 +7,12 @@ same mapInArrow kernel as the batch build and APPENDED to the persisted
 postings stream — the LSM design (operators/segments.py merge job) is exactly
 what makes appended runs cheap to fold into the queryable index.
 
-foreachBatch + availableNow gives exactly-once appends via the checkpoint
-dir; docids are (batch_id << 40 | local) so they never collide across
+foreachBatch alone is at-least-once (a crash between the parquet commit and
+the checkpoint offset commit replays the batch), so each batch writes to its
+own ``_batch=<id>`` partition with dynamic partition overwrite — a replayed
+batch OVERWRITES its own partition instead of appending duplicates, making
+the sink idempotent and the end-to-end pipeline effectively exactly-once.
+Docids are (batch_id << 40 | local) so they never collide across
 micro-batches — the same chunk-scoped scheme as the resumable batch build.
 """
 
@@ -47,8 +51,15 @@ def start_incremental_ingest(
         stream = stream.withColumn(
             "docid",
             (F.lit(int(batch_id)).cast("long") * (1 << BATCH_ID_BITS)) + F.col("docid"),
+        ).withColumn("_batch", F.lit(int(batch_id)))
+        # idempotent under foreachBatch replay: overwrite only this batch's
+        # partition (dynamic mode leaves every other _batch=* untouched)
+        (
+            stream.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(f"{index_root}/stream")
         )
-        stream.write.mode("append").parquet(f"{index_root}/stream")
 
     writer = (
         src.writeStream.foreachBatch(handle_batch)

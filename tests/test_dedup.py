@@ -149,3 +149,73 @@ def test_lsh_candidates_superset_of_high_jaccard(spark):
     verified = {(r["id_a"], r["id_b"]) for r in
                 minhash_dedup(docs, threshold=0.5, n_perms=16, bands=8).collect()}
     assert verified <= cand
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A corpus-wide boilerplate shingle must not go quadratic: with the df
+    cap, candidate pairs stay bounded by the cold-shingle buckets, and every
+    pair that shares at least one below-cap shingle keeps its EXACT
+    (full-set) Jaccard score."""
+    hot = "licensed under apache two"  # 4-token boilerplate → hot shingles
+    docs = [(i, f"{hot} unique{i} body{i} content{i}") for i in range(20)]
+    # one genuine near-dup pair sharing cold shingles too
+    docs.append((100, f"{hot} shared body same tail here"))
+    docs.append((101, f"{hot} shared body same tail here extra"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    uncapped = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(df, threshold=0.05).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in ngram_jaccard_pairs(df, threshold=0.05,
+                                           max_shingle_df=5).collect()}
+    # the planted pair shares cold shingles → survives with identical score
+    assert (100, 101) in capped
+    assert abs(capped[(100, 101)] - uncapped[(100, 101)]) < 1e-9
+    # pairs glued ONLY by the boilerplate shingles are gone: the capped
+    # result is exactly the one genuinely-near-dup pair, not the 22-clique
+    assert set(capped) == {(100, 101)}
+    assert len(uncapped) > 100  # the uncapped form really did go quadratic
+
+
+def test_lsh_hot_bucket_star_cap(spark):
+    """An oversized band bucket (m near-identical docs) emits star candidates
+    (root ↔ member): linear in m, cluster stays connected through the root;
+    small buckets are unchanged."""
+    same = "identical boilerplate file body repeated across many repositories"
+    docs = [(i, same) for i in range(12)]            # one hot bucket, m=12
+    docs.append((50, "a genuinely different document about spark segments"))
+    docs.append((51, "a genuinely different document about spark segments!"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sig = minhash_signatures(df, n_perms=16)
+
+    full = {(r["id_a"], r["id_b"]) for r in
+            lsh_candidate_pairs(sig, 16, 8).collect()}
+    star = {(r["id_a"], r["id_b"]) for r in
+            lsh_candidate_pairs(sig, 16, 8, max_bucket=5).collect()}
+    # star form: the 12-clique (66 pairs) collapses to 11 root pairs
+    hot_star = {p for p in star if p[0] < 50 and p[1] < 50}
+    assert hot_star == {(0, i) for i in range(1, 12)}
+    # small buckets unchanged
+    assert {p for p in full if p[0] >= 50} == {p for p in star if p[0] >= 50}
+    # connectivity: every hot doc reachable from root 0
+    assert {b for _, b in hot_star} == set(range(1, 12))
+
+
+def test_embedding_neardup_lsh_matches_exact(spark):
+    """The LSH-bucketed scale path must return the exact pair set on the
+    driver fixtures — this is what keeps the oracle entry green while
+    exercising the bucketed plan."""
+    import os
+
+    from flagembedding_spark.entries_pipeline import COS_NEARDUP_T
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"], r["cosine"]) for r in
+             embedding_neardup_pairs(emb, threshold=COS_NEARDUP_T,
+                                     method="exact").collect()}
+    lsh = {(r["id_a"], r["id_b"], r["cosine"]) for r in
+           embedding_neardup_pairs(emb, threshold=COS_NEARDUP_T,
+                                   method="lsh").collect()}
+    assert lsh == exact
+    assert len(exact) > 0

@@ -142,3 +142,32 @@ def test_stop_tokens_drop_from_postings_not_dl(tiny_corpus):
 def test_docid_expr(tiny_corpus):
     row = tiny_corpus.select(docid_expr().alias("d"), "repo", "path", "commit").first()
     assert row["d"] == f"{row['repo']}:{row['path']}@{row['commit']}"
+
+
+def test_docid_layout_drift_fails_loudly(tiny_corpus, monkeypatch):
+    """If the counting pass and the map pass disagree on the partition
+    layout, the build must raise — not silently assign colliding docids."""
+    from flagembedding_spark.operators import arrow_postings as ap
+
+    real = ap.partition_offsets
+
+    def missing_pid(df):
+        offsets, counts = real(df)
+        # pretend the counting job never saw the last partition
+        pid = max(counts)
+        offsets.pop(pid)
+        counts.pop(pid)
+        return offsets, counts
+
+    monkeypatch.setattr(ap, "partition_offsets", missing_pid)
+    with pytest.raises(Exception, match="no offset from the counting pass"):
+        build_index(tiny_corpus, BM25Config(), method="arrow").postings.count()
+
+    def wrong_counts(df):
+        offsets, counts = real(df)
+        counts = {pid: c + 1 for pid, c in counts.items()}
+        return offsets, counts
+
+    monkeypatch.setattr(ap, "partition_offsets", wrong_counts)
+    with pytest.raises(Exception, match="layout drift"):
+        build_index(tiny_corpus, BM25Config(), method="arrow").postings.count()

@@ -211,3 +211,28 @@ def test_wand_all_modes_identical(merged, tiny_queries):
         for m in ("pruned", "daat", "exact")
     ]
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_wand_rounded_boundary_margin(spark):
+    """The wand oracle entry fetches k+50 unrounded then re-ranks on rounded
+    scores; that is exact unless >50 docs round into a single 4-decimal tie
+    straddling the k boundary. Assert the driver fixture's widest boundary
+    tie group is far inside the margin."""
+    import os
+
+    from flagembedding_spark.entries import TOPK, _queries_df, build_doc_index
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    idx = build_doc_index(spark, sf_dir)
+    deep = bm25_topk(idx, _queries_df(spark), k=10_000, round_scores=4)
+    rows = deep.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["score"]))
+    for qid, rs in by_q.items():
+        rs.sort()
+        if len(rs) <= TOPK:
+            continue
+        boundary = rs[TOPK - 1][1]
+        tie = sum(1 for _, s in rs if s == boundary)
+        assert tie <= 50, (qid, boundary, tie)

@@ -103,3 +103,19 @@ def test_ivf_recall_and_monotonicity(spark, emb, brute):
     assert r4 >= 0.40, r4
     assert r8 >= 0.65, r8
     assert r8 >= r4  # probing more cells never hurts
+
+
+def test_brute_numpy_tie_determinism(spark):
+    """Duplicate corpus vectors tie at the kth score; the numpy GEMM path
+    must emit all tied candidates so its final window picks the same docids
+    as the sql path (cosine DESC, docid ASC)."""
+    dup = [1.0, 0.0, 0.0, 0.0]
+    corpus = [(i, dup) for i in range(8)]              # 8-way tie
+    corpus.append((100, [0.0, 1.0, 0.0, 0.0]))
+    c = spark.createDataFrame(corpus, ["vec_id", "embedding"]).repartition(4)
+    q = spark.createDataFrame([(0, dup)], ["vec_id", "embedding"])
+    a = [(r["docid"], r["rank"]) for r in
+         brute_force_cosine_topk(q, c, k=5, method="numpy").orderBy("rank").collect()]
+    b = [(r["docid"], r["rank"]) for r in
+         brute_force_cosine_topk(q, c, k=5, method="sql").orderBy("rank").collect()]
+    assert a == b == [(i, i + 1) for i in range(5)]

@@ -75,6 +75,31 @@ def test_incremental_ingest_two_waves(spark, tmproot):
     assert len(res) == 5
 
 
+def test_ingest_idempotent_under_batch_replay(spark, tmproot):
+    """Simulate the foreachBatch at-least-once failure mode: the parquet
+    commit lands but the checkpoint offset commit is lost (here: checkpoint
+    dir deleted), so the batch REPLAYS with the same batch_id. The dynamic
+    partition overwrite on _batch must leave row counts unchanged."""
+    rows = synth_corpus_rows(40, seed=7)
+    inp = f"{tmproot}/in"
+    root = f"{tmproot}/idx"
+    _write_wave(inp, rows, "only")
+
+    q = start_incremental_ingest(spark, inp, root)
+    q.awaitTermination(120)
+    n_rows_once = spark.read.parquet(f"{root}/stream").count()
+
+    # lose the checkpoint → availableNow re-drains everything as batch 0 again
+    shutil.rmtree(f"{root}/_checkpoint")
+    q = start_incremental_ingest(spark, inp, root)
+    q.awaitTermination(120)
+
+    assert spark.read.parquet(f"{root}/stream").count() == n_rows_once
+    idx = load_incremental_index(spark, root)
+    assert idx.stats.n_docs == 40
+    assert idx.doc_stats.select("docid_str").distinct().count() == 40
+
+
 def test_ingest_exactly_once_on_rerun(spark, tmproot):
     rows = synth_corpus_rows(30, seed=1)
     inp = f"{tmproot}/in"
