@@ -329,6 +329,30 @@ def main() -> None:
     wand_topk(seg, _queries_df(spark), k=TOPK, use_wand="exact").count()
     timings["segment_exact_topk_batch"] = time.perf_counter() - t
 
+    # --- skewed-idf fixture: rare needle terms + stopword-like head — the
+    # distribution where union-bound pruning excludes the stopword lists and
+    # block-max skipping genuinely wins; 'auto' must track the winner.
+    from flagembedding_spark.operators.index_build import build_index as _build
+    from flagembedding_spark.schemas import (
+        distributed_synth_corpus_skewed,
+        skewed_queries,
+    )
+
+    skew_docs = int(os.environ.get("FES_SKEW_DOCS", "200000"))
+    corpus_sk = distributed_synth_corpus_skewed(
+        spark, skew_docs, partitions=max(cpus * 2, 16)
+    )
+    idx_sk = _build(corpus_sk, seg_cfg)
+    seg_sk = merge_segments(build_segments(idx_sk))
+    seg_sk.blocks = seg_sk.blocks.cache()
+    seg_sk.blocks.count()
+    qs_sk = skewed_queries(spark)
+    wand_topk(seg_sk, qs_sk, k=TOPK, use_wand="exact").count()  # warm cache
+    for m in ("exact", "pruned", "auto"):
+        t = time.perf_counter()
+        wand_topk(seg_sk, qs_sk, k=TOPK, use_wand=m).count()
+        timings[f"wand_skew_{m}"] = time.perf_counter() - t
+
     # --- synthetic-corpus build throughput at full parallelism ---
     t = time.perf_counter()
     t_build, t_query, n_postings, _, _phase = build_and_query_once(

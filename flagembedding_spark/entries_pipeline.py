@@ -398,59 +398,64 @@ def q_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ir_metrics(run, _pseudo_qrels(spark, sf_dir), k_values=list(METRIC_KS))
 
 
-def _ir_metrics_sql() -> str:
-    base = bm25_sql(K1, B, TOPK, use_avgdl=True).strip()
-    blocks = []
-    for k in METRIC_KS:
-        blocks.append(f"""
-SELECT 'mrr' AS metric, {k} AS k,
+def _metric_blocks(k: int, base: str = "base", qrels: str = "qrels",
+                   lead: str = "") -> str:
+    """The 6-metric UNION template over named base/qrels CTEs; ``lead``
+    prefixes each SELECT (e.g. a lang literal for per-language rollups)."""
+    return f"""
+SELECT {lead}'mrr' AS metric, {k} AS k,
   round(avg(coalesce(rr, 0.0)), 5) AS value FROM (
     SELECT q.qid, 1.0 / min(r.rank) AS rr
-    FROM (SELECT DISTINCT qid FROM qrels) q
-    LEFT JOIN (SELECT b.qid, b.rank FROM base b JOIN qrels USING (qid, docid)
+    FROM (SELECT DISTINCT qid FROM {qrels}) q
+    LEFT JOIN (SELECT b.qid, b.rank FROM {base} b JOIN {qrels} USING (qid, docid)
                WHERE b.rank <= {k}) r ON q.qid = r.qid
     GROUP BY q.qid)
 UNION ALL
-SELECT 'recall', {k}, round(avg(CAST(n_hit AS DOUBLE) / n_rel), 5) FROM (
+SELECT {lead}'recall', {k}, round(avg(CAST(n_hit AS DOUBLE) / n_rel), 5) FROM (
     SELECT q.qid,
-      (SELECT count(*) FROM base b JOIN qrels USING (qid, docid)
+      (SELECT count(*) FROM {base} b JOIN {qrels} USING (qid, docid)
         WHERE b.qid = q.qid AND b.rank <= {k}) AS n_hit,
-      (SELECT count(*) FROM qrels WHERE qrels.qid = q.qid) AS n_rel
-    FROM (SELECT DISTINCT qid FROM qrels) q)
+      (SELECT count(*) FROM {qrels} WHERE {qrels}.qid = q.qid) AS n_rel
+    FROM (SELECT DISTINCT qid FROM {qrels}) q)
 UNION ALL
-SELECT 'r_cap', {k}, round(avg(CAST(n_hit AS DOUBLE) / least(n_rel, {k})), 5) FROM (
+SELECT {lead}'r_cap', {k}, round(avg(CAST(n_hit AS DOUBLE) / least(n_rel, {k})), 5) FROM (
     SELECT q.qid,
-      (SELECT count(*) FROM base b JOIN qrels USING (qid, docid)
+      (SELECT count(*) FROM {base} b JOIN {qrels} USING (qid, docid)
         WHERE b.qid = q.qid AND b.rank <= {k}) AS n_hit,
-      (SELECT count(*) FROM qrels WHERE qrels.qid = q.qid) AS n_rel
-    FROM (SELECT DISTINCT qid FROM qrels) q)
+      (SELECT count(*) FROM {qrels} WHERE {qrels}.qid = q.qid) AS n_rel
+    FROM (SELECT DISTINCT qid FROM {qrels}) q)
 UNION ALL
-SELECT 'ndcg', {k}, round(avg(coalesce(dcg / nullif(idcg, 0), 0.0)), 5) FROM (
+SELECT {lead}'ndcg', {k}, round(avg(coalesce(dcg / nullif(idcg, 0), 0.0)), 5) FROM (
     SELECT q.qid,
-      (SELECT sum(qr.relevance / log2(b.rank + 1)) FROM base b
-        JOIN qrels qr USING (qid, docid)
+      (SELECT sum(qr.relevance / log2(b.rank + 1)) FROM {base} b
+        JOIN {qrels} qr USING (qid, docid)
         WHERE b.qid = q.qid AND b.rank <= {k}) AS dcg,
       (SELECT sum(relevance / log2(irank + 1)) FROM (
           SELECT relevance, row_number() OVER (
             ORDER BY relevance DESC, docid ASC) AS irank
-          FROM qrels WHERE qrels.qid = q.qid) WHERE irank <= {k}) AS idcg
-    FROM (SELECT DISTINCT qid FROM qrels) q)
+          FROM {qrels} WHERE {qrels}.qid = q.qid) WHERE irank <= {k}) AS idcg
+    FROM (SELECT DISTINCT qid FROM {qrels}) q)
 UNION ALL
-SELECT 'precision', {k}, round(avg(CAST(n_hit AS DOUBLE) / {k}), 5) FROM (
+SELECT {lead}'precision', {k}, round(avg(CAST(n_hit AS DOUBLE) / {k}), 5) FROM (
     SELECT q.qid,
-      (SELECT count(*) FROM base b JOIN qrels USING (qid, docid)
+      (SELECT count(*) FROM {base} b JOIN {qrels} USING (qid, docid)
         WHERE b.qid = q.qid AND b.rank <= {k}) AS n_hit
-    FROM (SELECT DISTINCT qid FROM qrels) q)
+    FROM (SELECT DISTINCT qid FROM {qrels}) q)
 UNION ALL
-SELECT 'map', {k}, round(avg(coalesce(ap_num, 0.0) / n_rel), 5) FROM (
+SELECT {lead}'map', {k}, round(avg(coalesce(ap_num, 0.0) / n_rel), 5) FROM (
     SELECT q.qid,
       (SELECT sum(p) FROM (
           SELECT (row_number() OVER (ORDER BY b.rank)) * 1.0 / b.rank AS p
-          FROM base b JOIN qrels USING (qid, docid)
+          FROM {base} b JOIN {qrels} USING (qid, docid)
           WHERE b.qid = q.qid AND b.rank <= {k}) hp) AS ap_num,
-      (SELECT count(*) FROM qrels WHERE qrels.qid = q.qid) AS n_rel
-    FROM (SELECT DISTINCT qid FROM qrels) q)
-""")
+      (SELECT count(*) FROM {qrels} WHERE {qrels}.qid = q.qid) AS n_rel
+    FROM (SELECT DISTINCT qid FROM {qrels}) q)
+"""
+
+
+def _ir_metrics_sql() -> str:
+    base = bm25_sql(K1, B, TOPK, use_avgdl=True).strip()
+    blocks = [_metric_blocks(k) for k in METRIC_KS]
     return f"WITH base AS ({base}), {_QRELS_SQL.strip()}\n" + "\nUNION ALL\n".join(blocks)
 
 
@@ -989,5 +994,210 @@ PIPELINE_ORACLE_SQL.update(
         "normalize_text_full": _normalize_text_full_sql(),
         "token_counts_unicode": _token_counts_unicode_sql(),
         "qa_containment_unicode": _qa_containment_unicode_sql(),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# S9 persisted embedding store: cache → sharded parquet, search → GEMM scan
+# ---------------------------------------------------------------------------
+
+def q_ann_topk_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-k contract as ann_cosine_topk but THROUGH the persisted
+    shard store (build-if-missing manifest → load shards → batched GEMM),
+    mirroring the reference's doc.npy cache + Flat/IP faiss search
+    (searcher.py:121-146, utils.py:150-228)."""
+    import os as _os
+
+    from flagembedding_spark.sources.embedding_store import (
+        build_embedding_store,
+        search_embedding_store,
+    )
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/fes_emb_store_{tag}"
+    emb = _emb(spark, sf_dir)
+    build_embedding_store(
+        emb.filter(F.col("vec_id") >= ANN_NQ), root, n_shards=4
+    )
+    return search_embedding_store(
+        spark, root, emb.filter(F.col("vec_id") < ANN_NQ),
+        k=ANN_K, round_scores=4,
+    )
+
+
+PIPELINE_ENTRIES["ann_topk_persisted"] = q_ann_topk_persisted
+PIPELINE_ORACLE_SQL["ann_topk_persisted"] = _ann_sql()
+
+
+# ---------------------------------------------------------------------------
+# per-language metric rollup (MLDR shape: evaluate each language separately,
+# then 'average' = unweighted mean — step2-eval_sparse_mldr.py:94-108,182-192)
+# ---------------------------------------------------------------------------
+
+LANG_KS = (10,)
+
+
+def _qid_langs() -> list[tuple[str, str]]:
+    # deterministic two-language split of the fixed query set
+    return [
+        (qid, "en" if i % 2 == 0 else "zh")
+        for i, (qid, _) in enumerate(QUERY_SET)
+    ]
+
+
+def q_ir_metrics_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.metrics import ir_metrics_by_group
+
+    idx = build_doc_index(spark, sf_dir)
+    run = bm25_topk(idx, _queries_df(spark), k=TOPK, round_scores=4)
+    groups = spark.createDataFrame(_qid_langs(), ["qid", "lang"])
+    return ir_metrics_by_group(
+        run, _pseudo_qrels(spark, sf_dir), groups, k_values=list(LANG_KS)
+    )
+
+
+def _ir_metrics_by_lang_sql() -> str:
+    base = bm25_sql(K1, B, TOPK, use_avgdl=True).strip()
+    lvals = ", ".join(f"('{q}', '{lang}')" for q, lang in _qid_langs())
+    langs = sorted({lang for _, lang in _qid_langs()})
+    # named CTEs: base, qrels, qlang, and per-language restrictions of each
+    parts = [f"base AS ({base})", _QRELS_SQL.strip(),
+             f"qlang(qid, lang) AS (VALUES {lvals})"]
+    for lang in langs:
+        parts.append(
+            f"base_{lang} AS (SELECT b.* FROM base b JOIN qlang USING (qid) "
+            f"WHERE qlang.lang = '{lang}')"
+        )
+        parts.append(
+            f"qrels_{lang} AS (SELECT r.* FROM qrels r JOIN qlang USING (qid) "
+            f"WHERE qlang.lang = '{lang}')"
+        )
+    blocks = []
+    for lang in langs:
+        for k in LANG_KS:
+            blocks.append(
+                _metric_blocks(
+                    k, base=f"base_{lang}", qrels=f"qrels_{lang}",
+                    lead=f"'{lang}' AS lang, ",
+                )
+            )
+    perlang = "\nUNION ALL\n".join(blocks)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f",\nperlang AS ({perlang})\n"
+        + "SELECT lang, metric, k, value FROM perlang\n"
+        + "UNION ALL\n"
+        + "SELECT 'average' AS lang, metric, k, round(avg(value), 5) AS value "
+        + "FROM perlang GROUP BY metric, k"
+    )
+
+
+PIPELINE_ENTRIES["ir_metrics_by_lang"] = q_ir_metrics_by_lang
+PIPELINE_ORACLE_SQL["ir_metrics_by_lang"] = _ir_metrics_by_lang_sql()
+
+
+# ---------------------------------------------------------------------------
+# query-side impact expansion + impact search (the learned-sparse query path:
+# step0-encode_query-and-corpus.py:143-166 token repetition, then Anserini
+# impact scoring Σ qtf·impact)
+# ---------------------------------------------------------------------------
+
+def _qweights(spark: SparkSession) -> DataFrame:
+    """Deterministic stand-in for learned lexical weights: weight(term) =
+    ((length(term)·37) % 50 + 10) / 100 — integer-exact in both engines."""
+    from flagembedding_spark.operators.query import query_terms
+
+    qt = query_terms(_queries_df(spark))
+    return qt.select(
+        "qid", "term",
+        (((F.length("term") * 37) % 50 + 10) / 100.0).alias("weight"),
+    )
+
+
+def q_impact_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.index_build import expand_impact_queries
+
+    return expand_impact_queries(_qweights(spark))
+
+
+def q_impact_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full impact path: corpus impacts (ceil(tfn·100)) ⋈ repetition-expanded
+    queries → integer dot-product top-k."""
+    from flagembedding_spark.operators.index_build import (
+        expand_impact_queries,
+        impact_postings,
+        impact_topk,
+    )
+
+    idx = build_doc_index(spark, sf_dir)
+    expanded = expand_impact_queries(_qweights(spark))
+    return impact_topk(impact_postings(idx), expanded, k=TOPK)
+
+
+def _qweights_sql() -> str:
+    from flagembedding_spark.entries import _qterm_ctes
+
+    return f"""
+{_qterm_ctes().strip()},
+qw AS (
+  SELECT DISTINCT qid, term,
+         CAST((length(term) * 37) % 50 + 10 AS INT) AS wq
+  FROM qterms
+)
+"""
+
+
+def _impact_expansion_sql() -> str:
+    return f"""
+WITH {_qweights_sql().strip()},
+expanded AS (
+  SELECT qid, string_agg(repeat(term || ' ', wq), '' ORDER BY term) AS s
+  FROM qw GROUP BY qid
+)
+SELECT q.qid AS qid,
+       coalesce(rtrim(e.s, ' '), '0') AS query
+FROM (SELECT DISTINCT qid FROM qw) q LEFT JOIN expanded e ON q.qid = e.qid
+"""
+
+
+def _impact_search_sql() -> str:
+    from flagembedding_spark.entries import _BASE_CTES
+
+    return f"""
+WITH {_BASE_CTES.strip()},
+{_qweights_sql().strip()},
+impacts AS (
+  SELECT t.term AS term, t.doc_id AS docid,
+         CAST(ceil((t.tf / (t.tf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl))) * 100) AS INT) AS impact
+  FROM tf t JOIN doclen l USING (doc_id) CROSS JOIN stats s
+),
+scored AS (
+  SELECT qw.qid AS qid, i.docid AS docid,
+         CAST(sum(qw.wq * i.impact) AS BIGINT) AS score
+  FROM impacts i JOIN qw USING (term)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, docid, score,
+         CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY score DESC, docid ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT qid, docid, score, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+PIPELINE_ENTRIES.update(
+    {
+        "impact_query_expansion": q_impact_query_expansion,
+        "impact_search_topk": q_impact_search_topk,
+    }
+)
+
+PIPELINE_ORACLE_SQL.update(
+    {
+        "impact_query_expansion": _impact_expansion_sql(),
+        "impact_search_topk": _impact_search_sql(),
     }
 )

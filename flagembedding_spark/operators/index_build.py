@@ -277,6 +277,69 @@ def impact_postings(
     )
 
 
+def expand_impact_queries(
+    qweights: DataFrame,
+    qids: DataFrame | None = None,
+    quantize: int = 100,
+) -> DataFrame:
+    """Query-side impact expansion: each token is REPEATED ceil(w·quantize)
+    times in the query string, so downstream whitespace tokenization recovers
+    qtf == quantized weight; queries whose expansion is empty become the
+    literal '0' (step0-encode_query-and-corpus.py:143-166). Input
+    (qid, term, weight) → (qid, query)."""
+    qtf = F.ceil(F.col("weight") * quantize).cast("int")
+    per_term = qweights.select(
+        "qid",
+        F.struct(F.col("term"), qtf.alias("qtf")).alias("tw"),
+    ).filter(F.col("tw.qtf") > 0)
+    expanded = per_term.groupBy("qid").agg(
+        F.array_join(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list("tw")),
+                    lambda s: F.array_repeat(s["term"], s["qtf"]),
+                )
+            ),
+            " ",
+        ).alias("query")
+    )
+    base = qids if qids is not None else qweights.select("qid").distinct()
+    return base.select("qid").distinct().join(expanded, "qid", "left").select(
+        "qid", F.coalesce("query", F.lit("0")).alias("query")
+    )
+
+
+def impact_topk(
+    impacts: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    qid_col: str = "qid",
+    query_col: str = "query",
+) -> DataFrame:
+    """Impact search over an impact-quantized index: tokenize the expanded
+    query (qtf = repetition count), score = Σ qtf·impact — Anserini's
+    ``--impact --pretokenized`` quantized dot product
+    (step1-search_results.py / modeling_bm25.py impact path). Integer
+    arithmetic end-to-end: no cross-engine float drift. → (qid, docid,
+    score long, rank)."""
+    from pyspark.sql.window import Window
+
+    from flagembedding_spark.operators.query import query_terms
+
+    qt = query_terms(queries, qid_col, query_col)
+    scored = (
+        impacts.join(F.broadcast(qt), "term")
+        .groupBy("qid", "docid")
+        .agg(F.sum(F.col("qtf") * F.col("impact")).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "docid", F.col("score").cast("long").alias("score"), "rank")
+    )
+
+
 def length_sorted(df: DataFrame, content_col: str = "content") -> DataFrame:
     """W6: length-sorted batching (m3.py:391-393 sorts by text length so
     fixed-size batches waste less padding). Perf-only: partition-local sort,

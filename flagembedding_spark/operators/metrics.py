@@ -29,6 +29,55 @@ def _ranked(results: DataFrame) -> DataFrame:
     )
 
 
+def ir_metrics_by_group(
+    results: DataFrame,
+    qrels: DataFrame,
+    groups: DataFrame,
+    k_values: list[int] = (10,),
+    round_dp: int = 5,
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group (per-language) metric rollup + unweighted cross-group mean —
+    the MLDR evaluation shape (step2-eval_sparse_mldr.py:182-192 evaluates
+    each language's qrels/run separately; :94-108 'average' = np.mean of the
+    per-language scores). ``groups`` maps qid → group label; the driver loop
+    over groups mirrors the reference's language loop (group count is small
+    by construction). → (lang, metric, k, value) incl. lang='average'."""
+    spark = results.sparkSession
+    gvals = sorted(
+        r["g"] for r in groups.select(F.col(group_col).alias("g")).distinct().collect()
+    )
+    rows: list[tuple] = []
+    for g in gvals:
+        qset = groups.filter(F.col(group_col) == g).select("qid").distinct()
+        m = ir_metrics(
+            results.join(F.broadcast(qset), "qid"),
+            qrels.join(F.broadcast(qset), "qid"),
+            k_values, round_dp,
+        )
+        rows.extend((g, r["metric"], r["k"], r["value"]) for r in m.collect())
+    import math
+
+    def _round_half_away(v: float, dp: int) -> float:
+        # SQL/trec-style rounding (half away from zero on the double) — NOT
+        # Python's round(): the cross-group mean of 5dp values lands on
+        # .XXXXX5 constantly and banker's rounding would disagree with the
+        # oracle engine by one ulp
+        p = 10 ** dp
+        return math.floor(v * p + 0.5) / p
+
+    by_mk: dict[tuple, list[float]] = {}
+    for _, metric, k, v in rows:
+        by_mk.setdefault((metric, k), []).append(v)
+    rows.extend(
+        ("average", metric, k, _round_half_away(sum(vs) / len(vs), round_dp))
+        for (metric, k), vs in sorted(by_mk.items())
+    )
+    return spark.createDataFrame(
+        rows, f"{group_col} string, metric string, k int, value double"
+    )
+
+
 def ir_metrics(
     results: DataFrame,
     qrels: DataFrame,

@@ -305,10 +305,16 @@ def build_segments(
     )
 
 
-def merge_segments(seg: SegmentIndex) -> SegmentIndex:
+def merge_segments(
+    seg: SegmentIndex,
+    partition_cols: tuple[str, ...] = ("bucket",),
+    num_partitions: int | None = None,
+) -> SegmentIndex:
     """Log-structured merge (the ``--optimize`` analog): per bucket, k-way
     merge every term's block runs by docid and rewrite canonical blocks.
-    applyInArrow per bucket — bucket count bounds task memory."""
+    applyInArrow per bucket — bucket count bounds task memory.
+    ``partition_cols``/``num_partitions`` let the hierarchical driver merge
+    finer-grained subsets (see merge_segments_hierarchical)."""
     cfg = seg.config
     k1, b = cfg.k1, cfg.b
     avgdl = seg.avgdl_effective
@@ -346,12 +352,40 @@ def merge_segments(seg: SegmentIndex) -> SegmentIndex:
             yield _rows_to_batch(rows)
 
     merged = (
-        seg.blocks.repartition(cfg.term_buckets, "bucket")
+        seg.blocks.repartition(
+            num_partitions or cfg.term_buckets, *partition_cols
+        )
         .mapInArrow(merge_bucket, BLOCK_SCHEMA_DDL)
     )
     return SegmentIndex(
         blocks=merged, dictionary=seg.dictionary, stats=seg.stats, config=cfg
     )
+
+
+def merge_segments_hierarchical(seg: SegmentIndex, groups: int = 4) -> SegmentIndex:
+    """Two-level merge for buckets LARGER THAN TASK MEMORY: level 1 merges
+    ``groups`` disjoint subsets of each bucket's block runs (task state =
+    bucket/groups), level 2 merges the partial results per bucket. The merge
+    kernel is associative — the final emit re-sorts each term's full posting
+    set — so the output blocks are BYTE-IDENTICAL to a single-level merge
+    (tested). At 10^12 files, pick groups so bucket/groups fits an executor;
+    deeper trees compose by calling level 1 repeatedly."""
+    cfg = seg.config
+    lvl1_in = SegmentIndex(
+        blocks=seg.blocks.withColumn(
+            "_grp",
+            F.pmod(F.xxhash64("term", "docid_first"), F.lit(groups)).cast("int"),
+        ),
+        dictionary=seg.dictionary,
+        stats=seg.stats,
+        config=cfg,
+    )
+    partial = merge_segments(
+        lvl1_in,
+        partition_cols=("bucket", "_grp"),
+        num_partitions=cfg.term_buckets * groups,
+    )
+    return merge_segments(partial)
 
 
 # ---------------------------------------------------------------------------

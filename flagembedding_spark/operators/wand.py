@@ -307,6 +307,25 @@ def _pruned_query(qid: str, term_blocks: dict, k: int):
     return _topk_rows(qid, cand, acc, k)
 
 
+def _auto_query(qid: str, term_blocks: dict, k: int):
+    """Per-query mode pick from the term upper-bound spread (no decoding):
+    union-bound pruning can only exclude a term when some UB prefix sum stays
+    below θ, and θ is at most the strongest term's UB — so if the weakest
+    term's UB is already ≥ half the strongest's, nothing is realistically
+    prunable and the exact path's simpler kernel wins. When pruning IS
+    plausible, ``_pruned_query`` is chosen; it degenerates to exact when θ
+    turns out too low, so auto never loses more than the bootstrap pass."""
+    if len(term_blocks) <= 1:
+        return _exact_query(qid, term_blocks, k)
+    ubs = [
+        (float(e[3].max()) if len(e[3]) else 0.0) * e[0]
+        for e in term_blocks.values()
+    ]
+    if min(ubs) < 0.5 * max(ubs):
+        return _pruned_query(qid, term_blocks, k)
+    return _exact_query(qid, term_blocks, k)
+
+
 def _exact_query(qid: str, term_blocks: dict, k: int):
     """Exact path: decode every block of every query term, vectorized
     accumulate, top-k."""
@@ -339,11 +358,13 @@ def wand_topk(
 ) -> DataFrame:
     """Top-k BM25 over the merged segment index.
 
-    ``use_wand``: 'pruned' (default for True — vectorized union-bound pruning
-    with candidate rescoring), 'daat' (classic per-pivot block-max WAND),
-    or False/'exact' (decode everything). All three return identical top-k
-    (tested); 'pruned' is the scale default — measured: never slower than
-    exact, prunes where score distributions are skewed.
+    ``use_wand``: 'auto' (default for True — per-query pick between pruned
+    and exact from the term-UB spread), 'pruned' (vectorized union-bound
+    pruning with candidate rescoring), 'daat' (classic per-pivot block-max
+    WAND), or False/'exact' (decode everything). All modes return identical
+    top-k (tested); 'auto' is the scale default — pruning wins on skewed-idf
+    queries (rare term + stopwords), exact wins when every term's UB is
+    comparable and nothing is prunable.
 
     ``num_partitions`` bounds the per-query scoring tasks (default: the
     cluster's parallelism, capped — a 200-partition session default would
@@ -391,12 +412,12 @@ def wand_topk(
 
     kk = k
     if use_wand is True:
-        mode = "pruned"
+        mode = "auto"
     elif use_wand is False:
         mode = "exact"
     else:
         mode = use_wand
-    if mode not in ("pruned", "daat", "exact"):
+    if mode not in ("auto", "pruned", "daat", "exact"):
         raise ValueError(f"unknown mode {mode!r}")
 
     def score_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -430,7 +451,12 @@ def wand_topk(
                 )
                 for t, e in tb.items()
             }
-            fn = {"pruned": _pruned_query, "daat": _wand_query, "exact": _exact_query}[mode]
+            fn = {
+                "auto": _auto_query,
+                "pruned": _pruned_query,
+                "daat": _wand_query,
+                "exact": _exact_query,
+            }[mode]
             rows.extend(fn(q, packed, kk))
         if rows:
             cols = list(zip(*rows))

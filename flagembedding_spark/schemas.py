@@ -181,6 +181,46 @@ def synth_qrels_rows(
     return [(q, d, r) for (q, d), r in sorted(best.items())]
 
 
+NEEDLE_EVERY = 1000  # skewed fixture: 1-in-NEEDLE_EVERY docs carry a needle
+N_NEEDLES = 8
+
+
+def distributed_synth_corpus_skewed(
+    spark: SparkSession, n_docs: int, partitions: int = 64, seed: int = 42
+) -> DataFrame:
+    """Zipf-skewed idf fixture for WAND pruning benchmarks: the base corpus's
+    stopword-like head (df ≈ N → idf ≈ 0) PLUS rare 'needle_<j>' terms planted
+    in 1-in-1000 docs (df ≈ N/1000 → idf ≈ ln(1000)). A query mixing a needle
+    with stopwords makes every stopword non-essential under union-bound
+    pruning — the case where block-max skipping genuinely wins."""
+    base = distributed_synth_corpus(spark, n_docs, partitions, seed)
+    i = F.xxhash64("path")  # deterministic per doc
+    needle = F.concat(
+        F.lit("needle_"), (F.abs(i) % N_NEEDLES).cast("string")
+    )
+    return base.withColumn(
+        "content",
+        F.when(
+            F.abs(F.xxhash64("path", F.lit("plant"))) % NEEDLE_EVERY == 0,
+            F.concat(F.col("content"), F.lit(" "), needle),
+        ).otherwise(F.col("content")),
+    )
+
+
+def skewed_queries(spark: SparkSession) -> DataFrame:
+    """Needle+stopword mixes — the prunable shape (one rare high-idf term,
+    many low-idf stopwords whose posting lists dominate decode cost) — plus
+    controls."""
+    stop_mix = "def self ( ) = { } : if for class return"
+    rows = [
+        (f"sk{j}", f"needle_{j} {stop_mix}") for j in range(N_NEEDLES)
+    ] + [
+        ("sk_hot", "def return import"),     # all-hot control: nothing prunable
+        ("sk_pair", "needle_0 needle_1"),    # all-rare control
+    ]
+    return spark.createDataFrame(rows, QUERIES_SCHEMA)
+
+
 def distributed_synth_corpus(
     spark: SparkSession, n_docs: int, partitions: int = 64, seed: int = 42
 ) -> DataFrame:

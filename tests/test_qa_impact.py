@@ -69,3 +69,50 @@ def test_length_sorted_partition_local(spark):
     for p in parts:
         lens = [len(r["content"]) for r in p]
         assert lens == sorted(lens)
+
+
+def test_impact_query_expansion_semantics(spark):
+    """Token repeated ceil(w·quantize) times, sorted by term; a query whose
+    expansion is empty becomes the literal '0'
+    (step0-encode_query-and-corpus.py:143-166)."""
+    from flagembedding_spark.operators.index_build import expand_impact_queries
+
+    qw = spark.createDataFrame(
+        [("q1", "beta", 0.5), ("q1", "alfa", 0.25), ("q2", "x", 0.0)],
+        ["qid", "term", "weight"],
+    )
+    rows = {r["qid"]: r["query"]
+            for r in expand_impact_queries(qw, quantize=4).collect()}
+    assert rows["q1"] == "alfa beta beta"
+    assert rows["q2"] == "0"
+
+
+def test_impact_topk_integer_scoring(spark, tiny_corpus):
+    """Σ qtf·impact with integer arithmetic; rank ties broken by docid."""
+    from flagembedding_spark.config import BM25Config
+    from flagembedding_spark.operators.index_build import (
+        build_index,
+        impact_postings,
+        impact_topk,
+    )
+
+    idx = build_index(tiny_corpus, BM25Config())
+    imps = impact_postings(idx)
+    queries = spark.createDataFrame(
+        [("q1", "def def import"), ("q2", "zz_oov")], ["qid", "query"]
+    )
+    got = impact_topk(imps, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert "q2" not in by_q  # OOV query scores nothing
+    # brute-force check for q1
+    imp = {(r["term"], r["docid"]): r["impact"] for r in imps.collect()}
+    scores = {}
+    for (t, d), v in imp.items():
+        w = {"def": 2, "import": 1}.get(t, 0)
+        if w:
+            scores[d] = scores.get(d, 0) + w * v
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["docid"], r["score"]) for r in
+            sorted(by_q["q1"], key=lambda r: r["rank"])] == want

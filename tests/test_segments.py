@@ -153,7 +153,7 @@ def _canon(rows, ndigits=9):
     return {q: sorted(v, key=lambda x: (-x[0], x[1])) for q, v in by_qid.items()}
 
 
-@pytest.mark.parametrize("mode", ["pruned", "daat"])
+@pytest.mark.parametrize("mode", ["pruned", "daat", "auto"])
 def test_wand_equals_exact(merged, tiny_queries, mode):
     w = wand_topk(merged, tiny_queries, k=10, use_wand=mode).collect()
     e = wand_topk(merged, tiny_queries, k=10, use_wand=False).collect()
@@ -208,9 +208,33 @@ def test_segment_persistence_roundtrip(spark, merged, tiny_queries, tmp_path):
 def test_wand_all_modes_identical(merged, tiny_queries):
     outs = [
         _canon(wand_topk(merged, tiny_queries, k=10, use_wand=m).collect(), 6)
-        for m in ("pruned", "daat", "exact")
+        for m in ("pruned", "daat", "exact", "auto")
     ]
-    assert outs[0] == outs[1] == outs[2]
+    assert outs[0] == outs[1] == outs[2] == outs[3]
+
+
+def test_wand_modes_identical_on_skewed_corpus(spark):
+    """Needle-in-haystack fixture (rare high-idf terms + stopword-like head):
+    every mode — including auto's per-query picks — returns identical top-k."""
+    from flagembedding_spark.schemas import (
+        distributed_synth_corpus_skewed,
+        skewed_queries,
+    )
+
+    corpus = distributed_synth_corpus_skewed(spark, 3000, partitions=8)
+    cfg = BM25Config(block_size=64, term_buckets=8)
+    idx = build_index(corpus, cfg)
+    seg = merge_segments(build_segments(idx))
+    seg.blocks = seg.blocks.cache()
+    qs = skewed_queries(spark)
+    outs = {
+        m: _canon(wand_topk(seg, qs, k=10, use_wand=m).collect(), 6)
+        for m in ("pruned", "exact", "auto")
+    }
+    assert outs["pruned"] == outs["exact"] == outs["auto"]
+    # the needles really are planted and retrievable
+    assert any(q.startswith("sk") for q in outs["exact"])
+    assert len(outs["exact"]) >= 9
 
 
 def test_wand_rounded_boundary_margin(spark):
@@ -236,3 +260,28 @@ def test_wand_rounded_boundary_margin(spark):
         boundary = rs[TOPK - 1][1]
         tie = sum(1 for _, s in rs if s == boundary)
         assert tie <= 50, (qid, boundary, tie)
+
+
+def test_hierarchical_merge_byte_identical(index):
+    """Two-level merge (subset merges, then merge-of-merges) must produce
+    byte-identical blocks to the single-level merge — the kernel re-sorts
+    each term's full posting set at the final level, so composition order
+    can't leak into the output."""
+    from flagembedding_spark.operators.segments import merge_segments_hierarchical
+
+    seg = build_segments(index)
+
+    def canon(s):
+        return sorted(
+            (
+                r["bucket"], r["term"], r["docid_first"], r["docid_last"],
+                round(r["max_tfn"], 12),
+                bytes(r["docs"]), bytes(r["tfs"]), bytes(r["dls"]),
+            )
+            for r in s.blocks.collect()
+        )
+
+    single = canon(merge_segments(seg))
+    two_level = canon(merge_segments_hierarchical(seg, groups=3))
+    assert two_level == single
+    assert len(single) > 0
