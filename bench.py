@@ -329,6 +329,34 @@ def main() -> None:
     wand_topk(seg, _queries_df(spark), k=TOPK, use_wand="exact").count()
     timings["segment_exact_topk_batch"] = time.perf_counter() - t
 
+    # --- serving path: Spark-free single-query reader over the persisted
+    # segment store (the low-latency answer to Spark's ~1 s job-launch floor)
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from flagembedding_spark.operators.segments import save_segments
+    from flagembedding_spark.serving import SegmentReader
+
+    _serve_root = _tempfile.mkdtemp(
+        prefix="fes_serve_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    try:
+        save_segments(seg, _serve_root)
+        reader = SegmentReader(_serve_root)
+        reader.topk(QUERY_SET[0][1], k=TOPK)  # warm footers
+        lat = []
+        for _, qtext in QUERY_SET * 3:
+            t = time.perf_counter()
+            reader.topk(qtext, k=TOPK)
+            lat.append(time.perf_counter() - t)
+        lat.sort()
+        timings["serve_single_query_p50"] = lat[len(lat) // 2]
+        timings["serve_single_query_p95"] = lat[
+            min(len(lat) - 1, int(round(0.95 * len(lat))))
+        ]
+    finally:
+        _shutil.rmtree(_serve_root, ignore_errors=True)
+
     # --- skewed-idf fixture: rare needle terms + stopword-like head — the
     # distribution where union-bound pruning excludes the stopword lists and
     # block-max skipping genuinely wins; 'auto' must track the winner.

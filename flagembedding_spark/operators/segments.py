@@ -395,7 +395,12 @@ def merge_segments_hierarchical(seg: SegmentIndex, groups: int = 4) -> SegmentIn
 
 def save_segments(seg: SegmentIndex, root: str) -> None:
     seg.blocks.write.mode("overwrite").partitionBy("bucket").parquet(f"{root}/blocks")
-    seg.dictionary.write.mode("overwrite").parquet(f"{root}/dictionary")
+    # dictionary carries each term's bucket so a non-Spark reader (serving.py)
+    # can prune bucket partition dirs without reimplementing xxhash64
+    bucket_of = F.pmod(F.xxhash64("term"), F.lit(seg.config.term_buckets)).cast("int")
+    seg.dictionary.withColumn("bucket", bucket_of).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/dictionary")
     os.makedirs(root, exist_ok=True)
     with open(f"{root}/meta.json", "w") as f:
         json.dump(

@@ -1,0 +1,117 @@
+"""Low-latency single-query serving over the persisted segment index —
+NO Spark job on the query path.
+
+Spark's job-launch floor (~1 s for the 4-job broadcast plan) is the wrong
+tool for serving one query; the reference serves from an on-disk Lucene
+index the same way (modeling_bm25.py searches a prebuilt index, it doesn't
+rebuild anything per query). Here Spark BUILDS and MERGES the segment store
+(operators/segments.py), and this module is the thin reader:
+
+    dictionary parquet  --term IN (...)-->  (term, df, idf, bucket)
+    blocks parquet      --bucket dirs + term predicate-->  compressed blocks
+    numpy kernels       (the SAME _exact/_pruned/_auto kernels as wand_topk)
+
+pyarrow.dataset pushes the term predicate into parquet row-group statistics
+and prunes bucket=<b> partition directories entirely, so a query touches
+O(query-terms) row groups of a 10^12-posting index — identical I/O shape to
+a Lucene term-dictionary probe. Results are rank-identical to wand_topk
+(tested).
+"""
+
+from __future__ import annotations
+
+import json
+from collections import Counter
+
+import numpy as np
+import pyarrow.dataset as ds
+
+from flagembedding_spark.operators.wand import (
+    _auto_query,
+    _exact_query,
+    _pruned_query,
+)
+
+
+class SegmentReader:
+    """Holds dataset handles + corpus stats; one instance serves many
+    queries (the handles cache parquet footers — the 'index open' cost)."""
+
+    def __init__(self, root: str):
+        with open(f"{root}/meta.json") as f:
+            self.meta = json.load(f)
+        self.k1 = float(self.meta["k1"])
+        self.b = float(self.meta["b"])
+        self.avgdl = (
+            float(self.meta["avgdl"]) if self.meta.get("use_avgdl", True) else 1.0
+        )
+        self.dictionary = ds.dataset(f"{root}/dictionary", format="parquet")
+        self.blocks = ds.dataset(
+            f"{root}/blocks", format="parquet", partitioning="hive"
+        )
+
+    def lookup_terms(self, terms: list[str]):
+        """→ {term: (idf, bucket)} for terms present in the dictionary."""
+        if not terms:
+            return {}
+        tbl = self.dictionary.to_table(
+            columns=["term", "idf", "bucket"],
+            filter=ds.field("term").isin(terms),
+        )
+        return {
+            t: (float(i), int(b))
+            for t, i, b in zip(
+                tbl.column("term").to_pylist(),
+                tbl.column("idf").to_pylist(),
+                tbl.column("bucket").to_pylist(),
+            )
+        }
+
+    def topk(self, query: str, k: int = 10, mode: str = "auto"):
+        """→ [(docid, score, rank)] — BM25 top-k, rank-identical to
+        wand_topk (score DESC, docid ASC ties). ``mode`` ∈ auto/pruned/exact
+        with the same semantics as wand_topk's kernels (shared code)."""
+        qtf = Counter(query.split(" "))
+        info = self.lookup_terms(list(qtf))
+        if not info:
+            return []
+        buckets = sorted({b for _, b in info.values()})
+        tbl = self.blocks.to_table(
+            columns=[
+                "term", "docid_first", "docid_last", "max_tfn",
+                "docs", "tfs", "dls",
+            ],
+            filter=(
+                ds.field("bucket").isin(buckets)
+                & ds.field("term").isin(list(info))
+            ),
+        )
+        term_blocks: dict = {}
+        terms = tbl.column("term").to_pylist()
+        firsts = tbl.column("docid_first").to_pylist()
+        lasts = tbl.column("docid_last").to_pylist()
+        ubs = tbl.column("max_tfn").to_pylist()
+        docs = tbl.column("docs").to_pylist()
+        tfs = tbl.column("tfs").to_pylist()
+        dls = tbl.column("dls").to_pylist()
+        for i, t in enumerate(terms):
+            w = qtf[t] * info[t][0] * (self.k1 + 1.0)
+            ent = term_blocks.setdefault(t, [w, [], [], [], []])
+            ent[1].append(firsts[i])
+            ent[2].append(lasts[i])
+            ent[3].append(ubs[i])
+            ent[4].append(
+                (firsts[i], docs[i], tfs[i], dls[i], self.k1, self.b, self.avgdl)
+            )
+        packed = {
+            t: (
+                e[0],
+                np.asarray(e[1], dtype=np.int64),
+                np.asarray(e[2], dtype=np.int64),
+                np.asarray(e[3], dtype=np.float64),
+                e[4],
+            )
+            for t, e in term_blocks.items()
+        }
+        fn = {"auto": _auto_query, "pruned": _pruned_query, "exact": _exact_query}[mode]
+        return [(d, s, r) for _, d, s, r in fn("q", packed, k)]

@@ -285,3 +285,25 @@ def test_hierarchical_merge_byte_identical(index):
     two_level = canon(merge_segments_hierarchical(seg, groups=3))
     assert two_level == single
     assert len(single) > 0
+
+
+def test_serving_reader_matches_wand(spark, merged, tiny_queries, tmp_path):
+    """The Spark-free serving reader must be rank-identical to wand_topk on
+    the same persisted store (same kernels, pyarrow-pruned I/O)."""
+    from flagembedding_spark.operators.segments import save_segments
+    from flagembedding_spark.serving import SegmentReader
+
+    root = str(tmp_path / "seg")
+    save_segments(merged, root)
+    reader = SegmentReader(root)
+
+    want = _canon(wand_topk(merged, tiny_queries, k=10).collect(), 6)
+    for q in tiny_queries.collect():
+        got = [
+            (round(s, 6), d)
+            for d, s, _ in reader.topk(q["query"], k=10)
+        ]
+        got.sort(key=lambda x: (-x[0], x[1]))
+        assert got == want.get(q["query_id"], []), q["query_id"]
+    # OOV query → empty, no error
+    assert reader.topk("zz_never_seen zz_nope", k=10) == []
