@@ -381,6 +381,28 @@ def main() -> None:
         wand_topk(seg_sk, qs_sk, k=TOPK, use_wand=m).count()
         timings[f"wand_skew_{m}"] = time.perf_counter() - t
 
+    # --- hot (stopword-laden) queries: term layout funnels each query's
+    # blocks into one task; the docid-partitioned layout spreads them over
+    # every doc partition — the scale answer for head queries.
+    from flagembedding_spark.operators.segments import (
+        build_doc_partitioned_segments,
+    )
+
+    dseg = build_doc_partitioned_segments(idx_sk, n_parts=max(cpus * 2, 16))
+    dseg.blocks = dseg.blocks.cache()
+    dseg.blocks.count()
+    hot_qs = spark.createDataFrame(
+        [("h1", "def return import self"), ("h2", "( ) = {"),
+         ("h3", "if for class :"),
+         ("h4", "def self ( ) = { } : if for class return")],
+        ["query_id", "query"],
+    )
+    for name, s in (("term", seg_sk), ("doc", dseg)):
+        wand_topk(s, hot_qs, k=TOPK, use_wand="auto").count()  # warm
+        t = time.perf_counter()
+        wand_topk(s, hot_qs, k=TOPK, use_wand="auto").count()
+        timings[f"wand_hot_{name}_layout"] = time.perf_counter() - t
+
     # --- synthetic-corpus build throughput at full parallelism ---
     t = time.perf_counter()
     t_build, t_query, n_postings, _, _phase = build_and_query_once(

@@ -207,10 +207,64 @@ class SegmentIndex:
     dictionary: DataFrame  # (term, df, idf)
     stats: CorpusStats
     config: BM25Config
+    layout: str = "term"  # 'term' (bucket = term hash) | 'doc' (bucket = doc hash)
 
     @property
     def avgdl_effective(self) -> float:
         return self.stats.avgdl if self.config.use_avgdl else 1.0
+
+
+def _make_block_writer(block_size: int, k1: float, b: float, avgdl: float):
+    """mapInArrow kernel: partition sorted by (term, docid) → encoded blocks.
+    Run boundaries are found on the DICTIONARY-ENCODED term column, so the
+    Python-level work is O(#distinct terms), never O(#postings)."""
+
+    def write_blocks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        cur: tuple | None = None  # (bucket, term)
+        bufs: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        rows: list = []
+
+        def flush_term():
+            if cur is None or not bufs:
+                return
+            d = np.concatenate([x[0] for x in bufs])
+            t = np.concatenate([x[1] for x in bufs])
+            l_ = np.concatenate([x[2] for x in bufs])
+            _emit_term_blocks(
+                cur[0], cur[1], d, t, l_, block_size, k1, b, avgdl, rows
+            )
+            bufs.clear()
+
+        for batch in batches:
+            enc = batch.column("term").dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            vocab = enc.dictionary.to_pylist()  # O(#distinct terms)
+            docids = batch.column("docid").to_numpy(zero_copy_only=False)
+            tfs = batch.column("tf").to_numpy(zero_copy_only=False)
+            dls = batch.column("dl").to_numpy(zero_copy_only=False)
+            buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+            nrows = codes.size
+            # run boundary on (bucket, term): in the doc-partitioned layout
+            # the same term appears under several buckets within one task
+            bounds = np.nonzero(
+                (np.diff(codes) != 0) | (np.diff(buckets) != 0)
+            )[0] + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [nrows]))
+            for i, j in zip(starts, ends):
+                key = (int(buckets[i]), vocab[codes[i]])
+                if key != cur:
+                    flush_term()
+                    cur = key
+                bufs.append((docids[i:j], tfs[i:j], dls[i:j]))
+            if len(rows) >= 4096:
+                yield _rows_to_batch(rows)
+                rows = []
+        flush_term()
+        if rows:
+            yield _rows_to_batch(rows)
+
+    return write_blocks
 
 
 def build_segments(
@@ -252,56 +306,43 @@ def build_segments(
     parted = p.repartition(num_partitions, "bucket", "term", "salt").sortWithinPartitions(
         "term", "docid"
     )
-
-    def write_blocks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        """Input is sorted by (term, docid) within the partition. Run
-        boundaries are found on the DICTIONARY-ENCODED term column, so the
-        Python-level work is O(#distinct terms), never O(#postings)."""
-        cur_term = None
-        cur_bucket = 0
-        bufs: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-        rows: list = []
-
-        def flush_term():
-            if cur_term is None or not bufs:
-                return
-            d = np.concatenate([x[0] for x in bufs])
-            t = np.concatenate([x[1] for x in bufs])
-            l_ = np.concatenate([x[2] for x in bufs])
-            _emit_term_blocks(
-                cur_bucket, cur_term, d, t, l_, block_size, k1, b, avgdl, rows
-            )
-            bufs.clear()
-
-        for batch in batches:
-            enc = batch.column("term").dictionary_encode()
-            codes = enc.indices.to_numpy(zero_copy_only=False)
-            vocab = enc.dictionary.to_pylist()  # O(#distinct terms)
-            docids = batch.column("docid").to_numpy(zero_copy_only=False)
-            tfs = batch.column("tf").to_numpy(zero_copy_only=False)
-            dls = batch.column("dl").to_numpy(zero_copy_only=False)
-            buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
-            nrows = codes.size
-            bounds = np.nonzero(np.diff(codes))[0] + 1
-            starts = np.concatenate(([0], bounds))
-            ends = np.concatenate((bounds, [nrows]))
-            for i, j in zip(starts, ends):
-                term = vocab[codes[i]]
-                if term != cur_term:
-                    flush_term()
-                    cur_term = term
-                    cur_bucket = int(buckets[i])
-                bufs.append((docids[i:j], tfs[i:j], dls[i:j]))
-            if len(rows) >= 4096:
-                yield _rows_to_batch(rows)
-                rows = []
-        flush_term()
-        if rows:
-            yield _rows_to_batch(rows)
-
-    blocks = parted.mapInArrow(write_blocks, BLOCK_SCHEMA_DDL)
+    blocks = parted.mapInArrow(
+        _make_block_writer(block_size, k1, b, avgdl), BLOCK_SCHEMA_DDL
+    )
     return SegmentIndex(
         blocks=blocks, dictionary=index.dictionary, stats=index.stats, config=cfg
+    )
+
+
+def build_doc_partitioned_segments(
+    index: InvertedIndex, n_parts: int | None = None
+) -> SegmentIndex:
+    """DOCID-partitioned segment layout — the batch-query twin of the
+    term-bucketed layout. 'bucket' = pmod(xxhash64(docid), n_parts): every
+    posting of a doc lands in exactly ONE partition, so a document's full
+    BM25 total computes inside one task and partition-local top-k is
+    globally exact after a tiny k×n_parts merge. The payoff at scale: a hot
+    (stopword-laden) query's block volume spreads over n_parts tasks instead
+    of funneling into one task per query (wand_topk's qid repartition), and
+    the per-task WAND kernel still prunes locally. Blocks come out canonical
+    in ONE pass — no merge stage: within a partition each (bucket, term)
+    group is contiguous and docid-sorted."""
+    cfg = index.config
+    spark = index.postings.sparkSession
+    n_parts = n_parts or max(spark.sparkContext.defaultParallelism, 8)
+    p = index.postings.withColumn(
+        "bucket", F.pmod(F.xxhash64("docid"), F.lit(n_parts)).cast("int")
+    )
+    parted = p.repartition(n_parts, "bucket").sortWithinPartitions(
+        "bucket", "term", "docid"
+    )
+    blocks = parted.mapInArrow(
+        _make_block_writer(cfg.block_size, cfg.k1, cfg.b, index.avgdl_effective),
+        BLOCK_SCHEMA_DDL,
+    )
+    return SegmentIndex(
+        blocks=blocks, dictionary=index.dictionary, stats=index.stats,
+        config=cfg, layout="doc",
     )
 
 
@@ -315,6 +356,11 @@ def merge_segments(
     applyInArrow per bucket — bucket count bounds task memory.
     ``partition_cols``/``num_partitions`` let the hierarchical driver merge
     finer-grained subsets (see merge_segments_hierarchical)."""
+    if getattr(seg, "layout", "term") == "doc":
+        raise ValueError(
+            "doc-partitioned segments are built canonical in one pass — "
+            "merge applies to the term-bucketed layout only"
+        )
     cfg = seg.config
     k1, b = cfg.k1, cfg.b
     avgdl = seg.avgdl_effective

@@ -382,9 +382,12 @@ def wand_topk(
     # so whole directories are skipped). O(#query-terms) driver work only.
     terms = [r["term"] for r in qt.select("term").distinct().collect()]
     blocks = seg.blocks
+    doc_layout = getattr(seg, "layout", "term") == "doc"
     if 0 < len(terms) <= 10_000:
         blocks = blocks.filter(F.col("term").isin(terms))
-        if "bucket" in blocks.columns:
+        # bucket pruning only applies to the term-hash layout; in the doc
+        # layout every bucket can hold any term
+        if not doc_layout and "bucket" in blocks.columns:
             buckets = sorted(
                 {
                     r["b"]
@@ -408,7 +411,13 @@ def wand_topk(
     n_part = num_partitions or min(
         max(spark.sparkContext.defaultParallelism, 4), 64
     )
-    cand = cand.repartition(n_part, "qid")
+    if doc_layout:
+        # doc layout: co-locate by docid bucket — a hot query's blocks spread
+        # over every doc partition instead of one task per query; per-doc
+        # scores stay task-local so partition-local top-k is globally exact
+        cand = cand.repartition(n_part, "bucket")
+    else:
+        cand = cand.repartition(n_part, "qid")
 
     kk = k
     if use_wand is True:
@@ -419,6 +428,10 @@ def wand_topk(
         mode = use_wand
     if mode not in ("auto", "pruned", "daat", "exact"):
         raise ValueError(f"unknown mode {mode!r}")
+    if doc_layout and mode == "daat":
+        # the DAAT cursor assumes per-term blocks are docid-disjoint; in the
+        # doc layout a task may hold several buckets with overlapping ranges
+        raise ValueError("mode='daat' requires the term-bucketed layout")
 
     def score_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         per_q: dict[str, dict] = {}
@@ -470,7 +483,19 @@ def wand_topk(
                 schema=_RESULT_PA,
             )
 
-    return cand.select(
+    out = cand.select(
         "qid", "term", "w", "docid_first", "docid_last", "max_tfn",
         "docs", "tfs", "dls",
     ).mapInArrow(score_partition, RESULT_DDL)
+    if doc_layout:
+        # per-task results are LOCAL top-k (exact for the task's doc subset);
+        # the global top-k is a tiny window over ≤ n_part·k rows per query
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        out = (
+            out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= kk)
+            .select("qid", "docid", "score", "rank")
+        )
+    return out

@@ -307,3 +307,34 @@ def test_serving_reader_matches_wand(spark, merged, tiny_queries, tmp_path):
         assert got == want.get(q["query_id"], []), q["query_id"]
     # OOV query → empty, no error
     assert reader.topk("zz_never_seen zz_nope", k=10) == []
+
+
+def test_doc_partitioned_layout_matches_term_layout(index, merged, tiny_queries):
+    """The docid-partitioned layout (hot-query parallelism) must return
+    identical top-k to the term-bucketed layout and the DataFrame engine."""
+    from flagembedding_spark.operators.segments import build_doc_partitioned_segments
+
+    dseg = build_doc_partitioned_segments(index, n_parts=5)
+    dseg.blocks = dseg.blocks.cache()
+    for mode in ("exact", "pruned", "auto"):
+        a = _canon(wand_topk(dseg, tiny_queries, k=10, use_wand=mode).collect(), 6)
+        b = _canon(wand_topk(merged, tiny_queries, k=10, use_wand="exact").collect(), 6)
+        assert a == b, mode
+    c = _canon(bm25_topk(index, tiny_queries, k=10).collect(), 6)
+    assert _canon(wand_topk(dseg, tiny_queries, k=10).collect(), 6) == c
+    with pytest.raises(ValueError, match="term-bucketed"):
+        wand_topk(dseg, tiny_queries, k=10, use_wand="daat").collect()
+
+
+def test_doc_partitioned_blocks_doc_complete(index):
+    """Every posting of a doc lives in exactly one bucket (the exactness
+    precondition for partition-local top-k)."""
+    from flagembedding_spark.operators.segments import build_doc_partitioned_segments
+
+    dseg = build_doc_partitioned_segments(index, n_parts=5)
+    seen = {}
+    for r in dseg.blocks.collect():
+        d, _, _ = decode_block(r["docid_first"], bytes(r["docs"]),
+                               bytes(r["tfs"]), bytes(r["dls"]))
+        for doc in d.tolist():
+            assert seen.setdefault(doc, r["bucket"]) == r["bucket"], doc
