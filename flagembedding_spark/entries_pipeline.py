@@ -1201,3 +1201,81 @@ PIPELINE_ORACLE_SQL.update(
         "impact_search_topk": _impact_search_sql(),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# positional postings + exact phrase matching (Anserini -storePositions
+# analog; modeling_bm25.py:102-107)
+# ---------------------------------------------------------------------------
+
+PHRASES: list[tuple[str, str]] = [
+    ("p1", "table table"),
+    ("p2", "value fast"),
+    ("p3", "spark hash join"),   # likely absent as a phrase — empty is valid
+]
+
+
+def q_positional_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.positions import positional_postings
+
+    return positional_postings(_docs(spark, sf_dir))
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.positions import (
+        phrase_match_batch,
+        positional_postings,
+    )
+
+    pos = positional_postings(_docs(spark, sf_dir))
+    return phrase_match_batch(pos, PHRASES)
+
+
+_POSITIONAL_SQL = f"""
+WITH tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+idx AS (SELECT unnest(generate_series(1, {MAX_TOKENS_BOUND})) AS i),
+tp AS (
+  SELECT doc_id, toks[i] AS term, i - 1 AS pos
+  FROM tt JOIN idx ON idx.i <= len(toks)
+)
+SELECT doc_id AS docid, term, count(*) AS tf,
+       list_sort(list(pos)) AS positions
+FROM tp GROUP BY 1, 2
+"""
+
+
+def _phrase_match_sql() -> str:
+    blocks = []
+    for qid, phrase in PHRASES:
+        terms = phrase.split(" ")
+        conds = " AND ".join(
+            f"toks[i + {j}] = '{t}'" for j, t in enumerate(terms)
+        )
+        blocks.append(f"""
+SELECT '{qid}' AS qid, doc_id AS docid, count(*) AS n_occ
+FROM tt JOIN idx ON idx.i <= len(toks) - {len(terms) - 1}
+WHERE {conds}
+GROUP BY 1, 2
+""")
+        # the i ≤ len−(m−1) bound keeps toks[i+j] in range (DuckDB returns
+        # NULL out of range, which would just fail the equality anyway)
+    body = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+idx AS (SELECT unnest(generate_series(1, {MAX_TOKENS_BOUND})) AS i)
+{body}
+"""
+
+
+PIPELINE_ENTRIES.update(
+    {
+        "positional_postings": q_positional_postings,
+        "phrase_match": q_phrase_match,
+    }
+)
+PIPELINE_ORACLE_SQL.update(
+    {
+        "positional_postings": _POSITIONAL_SQL,
+        "phrase_match": _phrase_match_sql(),
+    }
+)

@@ -72,3 +72,51 @@ def test_doc_fingerprint_matches_brute(spark):
 
     assert got[2][1] == brute_roll("foo bar baz")
     assert got[3][1] == brute_roll("baz bar foo")
+
+
+def test_positional_postings_and_phrase_match(spark):
+    """Positions and phrase occurrence counts vs brute-force Python."""
+    from flagembedding_spark.operators.positions import (
+        phrase_match_batch,
+        phrase_occurrences,
+        positional_postings,
+    )
+
+    docs = [
+        (0, "a b a b a"),
+        (1, "a a a"),
+        (2, "b b b a b"),
+        (3, "c"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pos = positional_postings(df).cache()
+
+    got = {(r["docid"], r["term"]): (r["tf"], r["positions"]) for r in pos.collect()}
+    for i, t in docs:
+        toks = t.split(" ")
+        for term in set(toks):
+            want = [p for p, x in enumerate(toks) if x == term]
+            assert got[(i, term)] == (len(want), want), (i, term)
+
+    def brute(phrase):
+        pt = phrase.split(" ")
+        out = {}
+        for i, t in docs:
+            toks = t.split(" ")
+            n = sum(
+                1
+                for s in range(len(toks) - len(pt) + 1)
+                if toks[s:s + len(pt)] == pt
+            )
+            if n:
+                out[i] = n
+        return out
+
+    for phrase in ("a b", "a b a", "b b", "a", "c", "z q"):
+        got_p = {r["docid"]: r["n_occ"]
+                 for r in phrase_occurrences(pos, phrase).collect()}
+        assert got_p == brute(phrase), phrase
+
+    batch = phrase_match_batch(pos, [("q1", "a b"), ("q2", "b b")]).collect()
+    got_b = {(r["qid"], r["docid"]): r["n_occ"] for r in batch}
+    assert got_b == {("q1", 0): 2, ("q1", 2): 1, ("q2", 2): 2}
