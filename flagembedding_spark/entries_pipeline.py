@@ -1279,3 +1279,69 @@ PIPELINE_ORACLE_SQL.update(
         "phrase_match": _phrase_match_sql(),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# llm_embedder index-label binary metrics (retrieval/metrics.py:124-231):
+# first-hit MRR, uncapped-denominator recall, ndcg with IDCG from label count
+# ---------------------------------------------------------------------------
+
+BIN_KS = (1, 5, 10)
+
+
+def q_retrieval_metrics_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.metrics import retrieval_metrics_binary
+
+    idx = build_doc_index(spark, sf_dir)
+    run = bm25_topk(idx, _queries_df(spark), k=TOPK, round_scores=4)
+    labels = _pseudo_qrels(spark, sf_dir).select("qid", "docid")
+    return retrieval_metrics_binary(run, labels, k_values=list(BIN_KS))
+
+
+def _retrieval_metrics_binary_sql() -> str:
+    base = bm25_sql(K1, B, TOPK, use_avgdl=True).strip()
+    blocks = []
+    for k in BIN_KS:
+        blocks.append(f"""
+SELECT 'mrr' AS metric, {k} AS k,
+  round(coalesce(sum(CASE WHEN fh <= {k} THEN 1.0 / fh ELSE 0 END), 0.0)
+        / (SELECT count(*) FROM qset), 5) AS value
+FROM (SELECT q.qid,
+        (SELECT min(rank) FROM hits h WHERE h.qid = q.qid) AS fh
+      FROM qset q)
+UNION ALL
+SELECT 'recall', {k},
+  round(sum(CAST(n_hit AS DOUBLE) / n_label)
+        / (SELECT count(*) FROM qset), 5)
+FROM (SELECT q.qid,
+        (SELECT count(*) FROM hits h
+          WHERE h.qid = q.qid AND h.rank <= {k}) AS n_hit,
+        (SELECT count(*) FROM labels l WHERE l.qid = q.qid) AS n_label
+      FROM qset q)
+UNION ALL
+SELECT 'ndcg', {k},
+  round(sum(coalesce(dcg, 0.0) / it.idcg) / (SELECT count(*) FROM qset), 5)
+FROM (SELECT q.qid,
+        (SELECT sum(1.0 / log2(h.rank + 1)) FROM hits h
+          WHERE h.qid = q.qid AND h.rank <= {k}) AS dcg,
+        least((SELECT count(*) FROM labels l WHERE l.qid = q.qid), {k}) AS m
+      FROM qset q) x JOIN idcg_tab it ON x.m = it.m
+""")
+    max_k = max(BIN_KS)
+    return (
+        f"WITH base AS ({base}), {_QRELS_SQL.strip()},\n"
+        "labels AS (SELECT DISTINCT qid, docid FROM qrels),\n"
+        "qset AS (SELECT DISTINCT qid FROM base),\n"
+        "hits AS (SELECT b.qid AS qid, b.rank AS rank FROM base b "
+        "JOIN labels l ON b.qid = l.qid AND b.docid = l.docid),\n"
+        # idcg lookup for m = min(n_label, k) ∈ [1, max k] — generate_series
+        # can't take a correlated bound in DuckDB
+        "idcg_tab AS (SELECT m, sum(1.0 / log2(j + 1)) AS idcg FROM ("
+        f"SELECT m, unnest(generate_series(1, m)) AS j FROM ("
+        f"SELECT unnest(generate_series(1, {max_k})) AS m)) GROUP BY m)\n"
+        + "\nUNION ALL\n".join(blocks)
+    )
+
+
+PIPELINE_ENTRIES["retrieval_metrics_binary"] = q_retrieval_metrics_binary
+PIPELINE_ORACLE_SQL["retrieval_metrics_binary"] = _retrieval_metrics_binary_sql()

@@ -29,6 +29,71 @@ def _ranked(results: DataFrame) -> DataFrame:
     )
 
 
+def retrieval_metrics_binary(
+    results: DataFrame,
+    labels: DataFrame,
+    k_values: list[int] = (1, 5, 10),
+    round_dp: int = 5,
+) -> DataFrame:
+    """The llm_embedder index-label metric family
+    (research/llm_embedder/src/retrieval/metrics.py:124-231) — binary
+    relevance, means over the queries present in PREDICTIONS:
+
+    - mrr@k    : 1/rank of the FIRST hit if it lands ≤ k, else 0 (:134-158)
+    - recall@k : |label ∩ pred[:k]| / |label|  (UNCAPPED denominator, unlike
+                 R_cap — :163-189)
+    - ndcg@k   : Σ_hits≤k 1/log2(rank+1), IDCG from the LABEL COUNT
+                 (first min(|label|, k) ideal positions — :193-231)
+
+    → (metric string, k int, value double)."""
+    spark = results.sparkSession
+    ranked = _ranked(results) if "rank" not in results.columns else (
+        results.select("qid", "docid", "rank")
+    )
+    lab = labels.select("qid", "docid").distinct()
+    qset = ranked.select("qid").distinct()
+    n_q = qset.count()
+    if n_q == 0:
+        return spark.createDataFrame([], "metric string, k int, value double")
+    hits = ranked.join(lab, ["qid", "docid"]).select("qid", "rank")
+    nlab = lab.groupBy("qid").agg(F.count("*").alias("n_label"))
+
+    out = []
+    for k in k_values:
+        hk = hits.filter(F.col("rank") <= k)
+        per_q = hk.groupBy("qid").agg(
+            F.min("rank").alias("first_hit"),
+            F.count("*").alias("n_hit"),
+            F.sum(1.0 / F.log2(F.col("rank") + 1)).alias("dcg"),
+        )
+        # idcg from label count: sum_{j=1..min(n_label,k)} 1/log2(j+1)
+        idcg = F.aggregate(
+            F.sequence(F.lit(1), F.least(F.col("n_label"), F.lit(k))),
+            F.lit(0.0),
+            lambda a, j: a + 1.0 / F.log2(j.cast("double") + 1.0),
+        )
+        full = (
+            qset.join(per_q, "qid", "left")
+            .join(nlab, "qid", "left")
+            .select(
+                F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0)).alias("rr"),
+                (
+                    F.coalesce(F.col("n_hit"), F.lit(0))
+                    / F.col("n_label")
+                ).alias("recall"),
+                F.coalesce(F.col("dcg") / idcg, F.lit(0.0)).alias("ndcg"),
+            )
+        )
+        row = full.agg(
+            F.round(F.avg("rr"), round_dp).alias("mrr"),
+            F.round(F.avg("recall"), round_dp).alias("recall"),
+            F.round(F.avg("ndcg"), round_dp).alias("ndcg"),
+        ).collect()[0]
+        for m in ("mrr", "recall", "ndcg"):
+            out.append((m, k, float(row[m])))
+    return spark.createDataFrame(out, "metric string, k int, value double")
+
+
 def ir_metrics_by_group(
     results: DataFrame,
     qrels: DataFrame,

@@ -115,3 +115,70 @@ def test_mine_hard_negatives(spark):
     # deterministic across invocations
     again = mine_hard_negatives(run, pos, range_start=10, range_end=25, n_negatives=5)
     assert sorted(r["docid"] for r in rows) == sorted(r["docid"] for r in again.collect())
+
+
+def test_retrieval_metrics_binary_matches_reference(spark):
+    """Execute the reference RetrievalMetric.{mrr,recall,ndcg} closures
+    (AST-extracted — the module's heavyweight imports stay out) on a small
+    fixture and compare with the Spark operator."""
+    import ast
+    import inspect as _inspect
+    import logging as _logging
+
+    import numpy as np
+
+    from flagembedding_spark.operators.metrics import retrieval_metrics_binary
+
+    src = open(
+        "/root/reference/research/llm_embedder/src/retrieval/metrics.py"
+    ).read()
+    tree = ast.parse(src)
+    cls = next(
+        n for n in tree.body
+        if isinstance(n, ast.ClassDef) and n.name == "RetrievalMetric"
+    )
+    keep = {"_clean_pred", "mrr", "recall", "ndcg"}
+    cls.body = [
+        n for n in cls.body
+        if isinstance(n, ast.FunctionDef) and n.name in keep
+    ]
+    mod = ast.Module(body=[cls], type_ignores=[])
+    ns = {
+        "np": np, "inspect": _inspect,
+        "logger": _logging.getLogger("ref_metrics"),
+    }
+    exec(compile(ast.fix_missing_locations(mod), "<ref>", "exec"), ns)
+    RM = ns["RetrievalMetric"]
+
+    labels = {"q1": [3, 7, 9], "q2": [1], "q3": [2, 4]}
+    preds = {
+        "q1": [5, 7, 3, -1, -1],   # first hit rank 2
+        "q2": [9, 8, 6, 5, 2],     # no hit
+        "q3": [2, 4, 1, 0, 6],     # hits at 1, 2
+    }
+    qids = sorted(preds)
+    cutoffs = [1, 3, 5]
+    want = {}
+    for fn in (RM.mrr, RM.recall, RM.ndcg):
+        want.update(
+            fn(cutoffs=cutoffs)(qids, [preds[q] for q in qids], labels=labels)
+        )
+
+    res = spark.createDataFrame(
+        [
+            (q, d, r + 1)
+            for q, ds in preds.items()
+            for r, d in enumerate(ds) if d != -1
+        ],
+        "qid string, docid long, rank int",
+    )
+    lab = spark.createDataFrame(
+        [(q, d) for q, ds in labels.items() for d in ds],
+        "qid string, docid long",
+    )
+    got = {
+        f"{r['metric']}@{r['k']}": r["value"]
+        for r in retrieval_metrics_binary(res, lab, k_values=cutoffs).collect()
+    }
+    for key, v in want.items():
+        assert abs(got[key] - v) < 5e-6, (key, got[key], v)
