@@ -335,8 +335,14 @@ FROM base
 """
 
 
-def _lang_id_sql() -> str:
-    from flagembedding_spark.operators.textstats import LANG_STOPWORDS
+def _lang_id_sql(src: str = "documents") -> str:
+    """Mirrors textstats.lang_id's two-stage rule (script ranges, then
+    stopword argmax) from the SAME constant tables."""
+    from flagembedding_spark.operators.textstats import (
+        LANG_STOPWORDS,
+        SCRIPT_MIN_RATIO,
+        SCRIPT_RANGES,
+    )
 
     hit_cols = []
     for lg, ws in LANG_STOPWORDS.items():
@@ -344,17 +350,29 @@ def _lang_id_sql() -> str:
         hit_cols.append(f"count(*) FILTER (t IN ({lst})) AS h_{lg}")
     langs = list(LANG_STOPWORDS)
     best = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    script_cols = ", ".join(
+        f"length(regexp_replace(text, '[^{rng}]', '', 'g')) AS s_{lg}"
+        for lg, rng in SCRIPT_RANGES.items()
+    )
+    script_whens = "".join(
+        f" WHEN s_{lg} / nch > {SCRIPT_MIN_RATIO} THEN '{lg}'"
+        for lg in SCRIPT_RANGES
+    )
     whens = "".join(
         f" WHEN h_{lg} = {best} THEN '{lg}'" for lg in langs
     )
     return f"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM {src}
 ),
-hits AS (SELECT doc_id, {", ".join(hit_cols)} FROM tok GROUP BY doc_id)
-SELECT doc_id,
-       CASE WHEN {best} <= 0 THEN 'und'{whens} END AS lang_pred
-FROM hits
+hits AS (SELECT doc_id, {", ".join(hit_cols)} FROM tok GROUP BY doc_id),
+scr AS (
+  SELECT doc_id, {script_cols}, greatest(length(text), 1) AS nch FROM {src}
+)
+SELECT h.doc_id AS doc_id,
+       CASE{script_whens}
+            WHEN {best} <= 0 THEN 'und'{whens} END AS lang_pred
+FROM hits h JOIN scr USING (doc_id)
 """
 
 
@@ -1345,3 +1363,47 @@ FROM (SELECT q.qid,
 
 PIPELINE_ENTRIES["retrieval_metrics_binary"] = q_retrieval_metrics_binary
 PIPELINE_ORACLE_SQL["retrieval_metrics_binary"] = _retrieval_metrics_binary_sql()
+
+
+# ---------------------------------------------------------------------------
+# multilingual lang-ID fixture: one row per supported language + controls
+# ---------------------------------------------------------------------------
+
+LANG_FIXTURE: list[tuple[int, str]] = [
+    (1, "the cat and the dog in a house is it"),
+    (2, "el perro y la casa de los gatos en un lugar"),
+    (3, "der hund und die katze ist nicht zu ein haus"),
+    (4, "le chat et les chiens des maisons une est"),
+    (5, "il gatto di casa che non sono per con una"),
+    (6, "o gato e um cachorro do da em para com casa"),
+    (7, "de kat het huis een van niet met voor ook"),
+    (8, "собака и кошка живут в доме на улице"),
+    (9, "这是一个关于房子和猫的中文句子"),
+    (10, "これは家と猫についての日本語の文です"),
+    (11, "이것은 집과 고양이에 관한 한국어 문장입니다"),
+    (12, "هذه جملة عربية عن المنزل والقطط"),
+    (13, "यह घर और बिल्लियों के बारे में एक हिंदी वाक्य है"),
+    (14, "αυτή είναι μια ελληνική πρόταση για το σπίτι"),
+    (15, "zzz qqq xxx www"),   # no signal → und
+]
+
+
+def q_lang_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.textstats import lang_id
+
+    df = spark.createDataFrame(LANG_FIXTURE, "doc_id long, text string")
+    return lang_id(df).select("doc_id", "lang_pred")
+
+
+def _lang_id_multi_sql() -> str:
+    vals = ", ".join(f"({i}, {_sql_quote(t)})" for i, t in LANG_FIXTURE)
+    inner = _lang_id_sql(src="lf").strip()
+    return f"""
+WITH lf(doc_id, text) AS (VALUES {vals}),
+res AS ({inner})
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang_pred FROM res
+"""
+
+
+PIPELINE_ENTRIES["lang_id_multi"] = q_lang_id_multi
+PIPELINE_ORACLE_SQL["lang_id_multi"] = _lang_id_multi_sql()

@@ -27,7 +27,24 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "es": ("el", "la", "de", "que", "y", "los", "en", "un"),
     "de": ("der", "die", "und", "das", "nicht", "ist", "zu", "ein"),
     "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+    "it": ("il", "di", "che", "non", "per", "con", "una", "sono"),
+    "pt": ("o", "e", "do", "da", "em", "um", "para", "com"),
+    "nl": ("de", "het", "een", "van", "niet", "met", "voor", "ook"),
 }
+
+# non-Latin scripts: contiguous codepoint ranges usable verbatim in BOTH Java
+# regex (Spark) and RE2 (DuckDB oracle) character classes; checked in order
+# (kana before han: Japanese text contains both, Chinese has no kana)
+SCRIPT_RANGES: dict[str, str] = {
+    "ja": "぀-ヿ",   # hiragana + katakana
+    "zh": "一-鿿",   # CJK unified ideographs
+    "ko": "가-힯",   # hangul syllables
+    "ru": "Ѐ-ӿ",   # cyrillic
+    "ar": "؀-ۿ",   # arabic
+    "hi": "ऀ-ॿ",   # devanagari
+    "el": "Ͱ-Ͽ",   # greek
+}
+SCRIPT_MIN_RATIO = 0.3
 
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -79,20 +96,38 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-hit language guess over {en,es,de,fr}; 'und' (undetermined)
-    when no list scores > 0. Deterministic argmax, first-listed wins ties."""
-    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    """Two-stage deterministic language guess:
+    1. SCRIPT stage — if > SCRIPT_MIN_RATIO of characters fall in a
+       non-Latin script range (checked in SCRIPT_RANGES order; kana before
+       han so Japanese wins over its own kanji), that language wins;
+    2. STOPWORD stage — argmax of per-language stopword hits over the Latin
+       lists, first-listed wins ties; 'und' when no list scores > 0.
+    All JVM expressions; the DuckDB oracle mirrors both stages from the SAME
+    constant tables."""
+    text = F.col(text_col)
+    n_chars = F.greatest(F.length(text), F.lit(1))
+    toks = whitespace_tokens(F.lower(text))
     scores = [
         (_stopword_hits(toks, ws)).alias(f"hits_{lang}")
         for lang, ws in LANG_STOPWORDS.items()
     ]
-    tmp = df.select("*", *scores)
+    script_counts = [
+        F.length(F.regexp_replace(text, f"[^{rng}]", "")).alias(f"sc_{lang}")
+        for lang, rng in SCRIPT_RANGES.items()
+    ]
+    tmp = df.select("*", *scores, *script_counts)
     langs = list(LANG_STOPWORDS)
     best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
-    pred = F.when(best <= 0, F.lit("und"))
+    pred = None
+    for lg in SCRIPT_RANGES:
+        cond = F.col(f"sc_{lg}") / n_chars > SCRIPT_MIN_RATIO
+        pred = F.when(cond, F.lit(lg)) if pred is None else pred.when(cond, F.lit(lg))
+    pred = pred.when(best <= 0, F.lit("und"))
     for lg in langs:
         pred = pred.when(F.col(f"hits_{lg}") == best, F.lit(lg))
-    return tmp.withColumn("lang_pred", pred)
+    return tmp.withColumn("lang_pred", pred).drop(
+        *[f"sc_{lg}" for lg in SCRIPT_RANGES]
+    )
 
 
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

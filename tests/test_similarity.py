@@ -119,3 +119,32 @@ def test_brute_numpy_tie_determinism(spark):
     b = [(r["docid"], r["rank"]) for r in
          brute_force_cosine_topk(q, c, k=5, method="sql").orderBy("rank").collect()]
     assert a == b == [(i, i + 1) for i in range(5)]
+
+
+def test_ivf_trained_centroids_improve_recall(spark, emb, brute):
+    """Spherical-k-means-trained centroids must not lose recall vs the
+    seeded-random ones at the same nprobe (deterministic fixture+seeds)."""
+    from flagembedding_spark.operators.similarity import (
+        ivf_cosine_topk,
+        train_ivf_centroids,
+    )
+
+    ids, m = brute
+    q = emb.filter("vec_id < 20")
+    c = emb.filter("vec_id >= 20")
+    want = _want_topk(ids, m, ids < 20, ids >= 20, 5)
+
+    def recall(**kw):
+        got = {}
+        for r in ivf_cosine_topk(q, c, k=5, n_cells=16, nprobe=4, **kw).collect():
+            got.setdefault(r["qid"], set()).add(r["docid"])
+        hits = sum(
+            len(got.get(qid, set()) & {d for d, _ in wl}) for qid, wl in want.items()
+        )
+        return hits / sum(len(wl) for wl in want.values())
+
+    r_rand = recall()
+    cents = train_ivf_centroids(c, dim=len(m[0]), n_cells=16, iters=4)
+    r_trained = recall(centroids=cents)
+    assert r_trained >= r_rand, (r_trained, r_rand)
+    assert r_trained >= 0.5, r_trained

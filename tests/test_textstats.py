@@ -120,3 +120,17 @@ def test_positional_postings_and_phrase_match(spark):
     batch = phrase_match_batch(pos, [("q1", "a b"), ("q2", "b b")]).collect()
     got_b = {(r["qid"], r["docid"]): r["n_occ"] for r in batch}
     assert got_b == {("q1", 0): 2, ("q1", 2): 1, ("q2", 2): 2}
+
+
+def test_lang_id_multilingual(spark):
+    """Script-range + stopword two-stage rule labels every fixture language
+    correctly (the oracle only proves Spark==DuckDB; this pins the truth)."""
+    from flagembedding_spark.entries_pipeline import LANG_FIXTURE
+    from flagembedding_spark.operators.textstats import lang_id
+
+    df = spark.createDataFrame(LANG_FIXTURE, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    want = {1: "en", 2: "es", 3: "de", 4: "fr", 5: "it", 6: "pt", 7: "nl",
+            8: "ru", 9: "zh", 10: "ja", 11: "ko", 12: "ar", 13: "hi",
+            14: "el", 15: "und"}
+    assert got == want
