@@ -1407,3 +1407,38 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, lang_pred FROM res
 
 PIPELINE_ENTRIES["lang_id_multi"] = q_lang_id_multi
 PIPELINE_ORACLE_SQL["lang_id_multi"] = _lang_id_multi_sql()
+
+
+# ---------------------------------------------------------------------------
+# approximate ANN paths — genuinely non-SQL-expressible (randomized bucketing
+# with exact rescoring); registered WITHOUT oracle SQL so the driver records
+# its rows-only check, while recall bounds are pytest-enforced
+# (test_lsh_recall_vs_brute, test_ivf_recall_and_monotonicity)
+# ---------------------------------------------------------------------------
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    return lsh_cosine_topk(
+        emb.filter(F.col("vec_id") < ANN_NQ),
+        emb.filter(F.col("vec_id") >= ANN_NQ),
+        k=ANN_K,
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_cosine_topk(
+        emb.filter(F.col("vec_id") < ANN_NQ),
+        emb.filter(F.col("vec_id") >= ANN_NQ),
+        k=ANN_K,
+        nprobe=4,
+        train_iters=3,
+    )
+
+
+PIPELINE_ENTRIES["ann_lsh_topk"] = q_ann_lsh_topk
+PIPELINE_ENTRIES["ann_ivf_topk"] = q_ann_ivf_topk
