@@ -441,12 +441,17 @@ def merge_segments_hierarchical(seg: SegmentIndex, groups: int = 4) -> SegmentIn
 
 def save_segments(seg: SegmentIndex, root: str) -> None:
     seg.blocks.write.mode("overwrite").partitionBy("bucket").parquet(f"{root}/blocks")
-    # dictionary carries each term's bucket so a non-Spark reader (serving.py)
-    # can prune bucket partition dirs without reimplementing xxhash64
-    bucket_of = F.pmod(F.xxhash64("term"), F.lit(seg.config.term_buckets)).cast("int")
-    seg.dictionary.withColumn("bucket", bucket_of).write.mode(
-        "overwrite"
-    ).parquet(f"{root}/dictionary")
+    dictionary = seg.dictionary
+    if getattr(seg, "layout", "term") == "term":
+        # dictionary carries each term's bucket so a non-Spark reader
+        # (serving.py) can prune bucket partition dirs without
+        # reimplementing xxhash64 — term layout only (in the doc layout a
+        # term spans every bucket)
+        bucket_of = F.pmod(
+            F.xxhash64("term"), F.lit(seg.config.term_buckets)
+        ).cast("int")
+        dictionary = dictionary.withColumn("bucket", bucket_of)
+    dictionary.write.mode("overwrite").parquet(f"{root}/dictionary")
     os.makedirs(root, exist_ok=True)
     with open(f"{root}/meta.json", "w") as f:
         json.dump(
@@ -458,6 +463,7 @@ def save_segments(seg: SegmentIndex, root: str) -> None:
                 "use_avgdl": seg.config.use_avgdl,
                 "block_size": seg.config.block_size,
                 "term_buckets": seg.config.term_buckets,
+                "layout": getattr(seg, "layout", "term"),
             },
             f,
         )
@@ -478,4 +484,5 @@ def load_segments(spark: SparkSession, root: str) -> SegmentIndex:
         dictionary=spark.read.parquet(f"{root}/dictionary"),
         stats=CorpusStats(n_docs=meta["n_docs"], avgdl=meta["avgdl"]),
         config=cfg,
+        layout=meta.get("layout", "term"),
     )

@@ -40,6 +40,11 @@ class SegmentReader:
     def __init__(self, root: str):
         with open(f"{root}/meta.json") as f:
             self.meta = json.load(f)
+        if self.meta.get("layout", "term") != "term":
+            raise ValueError(
+                "SegmentReader serves the term-bucketed layout (point "
+                "lookups); doc-partitioned stores are the Spark batch path"
+            )
         self.k1 = float(self.meta["k1"])
         self.b = float(self.meta["b"])
         self.avgdl = (

@@ -24,8 +24,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# local runs launch this by path (python jobs/build_index_job.py); on a
+# cluster --py-files provides the package instead and this is a no-op
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -42,6 +47,9 @@ def main() -> None:
     ap.add_argument("--no-resume", dest="resume", action="store_false")
     ap.add_argument("--build-segments", action="store_true",
                     help="also build + merge the compressed segment index")
+    ap.add_argument("--segment-layout", default="term", choices=["term", "doc", "both"],
+                    help="term = bucketed-by-term (point lookups / serving.py); "
+                         "doc = docid-partitioned (head-query batches); both")
     ap.add_argument("--queries-inline", nargs="*", default=[],
                     help="ad-hoc queries to run after the build")
     ap.add_argument("--top-k", type=int, default=10)
@@ -88,15 +96,22 @@ def main() -> None:
 
     if args.build_segments:
         from flagembedding_spark.operators.segments import (
+            build_doc_partitioned_segments,
             build_segments,
             merge_segments,
             save_segments,
         )
 
-        t1 = time.perf_counter()
-        seg = merge_segments(build_segments(index))
-        save_segments(seg, f"{args.output}/segments")
-        report["segments_sec"] = round(time.perf_counter() - t1, 2)
+        if args.segment_layout in ("term", "both"):
+            t1 = time.perf_counter()
+            seg = merge_segments(build_segments(index))
+            save_segments(seg, f"{args.output}/segments")
+            report["segments_sec"] = round(time.perf_counter() - t1, 2)
+        if args.segment_layout in ("doc", "both"):
+            t1 = time.perf_counter()
+            dseg = build_doc_partitioned_segments(index)
+            save_segments(dseg, f"{args.output}/segments_doc")
+            report["segments_doc_sec"] = round(time.perf_counter() - t1, 2)
 
     if args.queries_inline:
         from flagembedding_spark.operators.query import bm25_topk

@@ -338,3 +338,26 @@ def test_doc_partitioned_blocks_doc_complete(index):
                                bytes(r["tfs"]), bytes(r["dls"]))
         for doc in d.tolist():
             assert seen.setdefault(doc, r["bucket"]) == r["bucket"], doc
+
+
+def test_doc_layout_persistence_roundtrip(spark, index, tiny_queries, tmp_path):
+    """Saved doc-layout stores reload with their layout (term-hash bucket
+    pruning must NOT apply to them) and query identically; the serving
+    reader refuses them."""
+    from flagembedding_spark.operators.segments import (
+        build_doc_partitioned_segments,
+        load_segments,
+        save_segments,
+    )
+    from flagembedding_spark.serving import SegmentReader
+
+    dseg = build_doc_partitioned_segments(index, n_parts=5)
+    root = str(tmp_path / "dseg")
+    save_segments(dseg, root)
+    loaded = load_segments(spark, root)
+    assert loaded.layout == "doc"
+    a = _canon(wand_topk(loaded, tiny_queries, k=10).collect(), 6)
+    b = _canon(wand_topk(dseg, tiny_queries, k=10).collect(), 6)
+    assert a == b
+    with pytest.raises(ValueError, match="term-bucketed layout"):
+        SegmentReader(root)
