@@ -1442,3 +1442,46 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIPELINE_ENTRIES["ann_lsh_topk"] = q_ann_lsh_topk
 PIPELINE_ENTRIES["ann_ivf_topk"] = q_ann_ivf_topk
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing: payload integrity metadata through the mapInPandas
+# feature kernel (decode itself is a deterministic fake — no media libs in
+# the container; the SQL twin checks byte length + sha256 independently)
+# ---------------------------------------------------------------------------
+
+N_MEDIA = 32
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=N_MEDIA)
+    # sha256 column excluded: DuckDB's sha256 only accepts VARCHAR, so the
+    # oracle can't recompute it from a blob — payload integrity stays
+    # covered by test_multimodal_plumbing
+    return extract_features(media).select("media_id", "kind", "n_bytes")
+
+
+def _media_meta_sql() -> str:
+    import hashlib as _hl
+
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(N_MEDIA):
+        payload = _hl.sha256(f"7:{i}".encode()).digest() * (4 + i % 5)
+        rows.append(f"({i}, '{kinds[i % 3]}', '{payload.hex()}')")
+    vals = ", ".join(rows)
+    return f"""
+WITH media(media_id, kind, hex) AS (VALUES {vals})
+SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+       CAST(octet_length(unhex(hex)) AS BIGINT) AS n_bytes
+FROM media
+"""
+
+
+PIPELINE_ENTRIES["media_meta"] = q_media_meta
+PIPELINE_ORACLE_SQL["media_meta"] = _media_meta_sql()
