@@ -196,6 +196,31 @@ def decode_block(docid_first: int, docs: bytes, tfs: bytes, dls: bytes):
     return docids, varint_decode(tfs).astype(np.int64), varint_decode(dls).astype(np.int64)
 
 
+def decode_blocks_batch(
+    firsts: list, docs_list: list, tfs_list: list, dls_list: list
+):
+    """Decode MANY blocks (typically one term's whole list) in three
+    vectorized varint passes instead of one per block — per-call numpy
+    overhead dominated the kernels at >10k blocks/query. Block boundaries in
+    the concatenated gap stream are exactly the zero gaps: every block's
+    first gap is 0 (docid_first is absolute) and within-block gaps are ≥ 1
+    (docids strictly increase). Returns concatenated (docids, tfs, dls) in
+    the input block order."""
+    gaps = varint_decode(b"".join(docs_list))
+    if gaps.size == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    tfs = varint_decode(b"".join(tfs_list)).astype(np.int64)
+    dls = varint_decode(b"".join(dls_list)).astype(np.int64)
+    g = gaps.astype(np.int64)
+    starts = np.nonzero(g == 0)[0]
+    counts = np.diff(np.append(starts, g.size))
+    cum = np.cumsum(g)
+    f = np.asarray(firsts, dtype=np.int64)
+    docids = cum - np.repeat(cum[starts], counts) + np.repeat(f, counts)
+    return docids, tfs, dls
+
+
 # ---------------------------------------------------------------------------
 # segment build + merge jobs
 # ---------------------------------------------------------------------------

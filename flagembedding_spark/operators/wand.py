@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flagembedding_spark.operators.query import query_terms
-from flagembedding_spark.operators.segments import SegmentIndex, decode_block
+from flagembedding_spark.operators.segments import (
+    SegmentIndex,
+    decode_block,
+    decode_blocks_batch,
+)
 
 RESULT_DDL = "qid string, docid long, score double, rank int"
 _RESULT_PA = pa.schema(
@@ -232,14 +236,14 @@ def _pruned_query(qid: str, term_blocks: dict, k: int):
     )
 
     def decode_term(e):
-        ds, ss = [], []
-        for f, docs, tfs, dls, k1, b, avgdl in e[4]:
-            d, t, l_ = decode_block(f, docs, tfs, dls)
-            tf = t.astype(np.float64)
-            dl = l_.astype(np.float64)
-            ds.append(d)
-            ss.append(e[0] * tf / (tf + k1 * (1.0 - b + b * dl / avgdl)))
-        return np.concatenate(ds), np.concatenate(ss)
+        k1, b, avgdl = e[4][0][4], e[4][0][5], e[4][0][6]
+        d, t, l_ = decode_blocks_batch(
+            [blk[0] for blk in e[4]], [blk[1] for blk in e[4]],
+            [blk[2] for blk in e[4]], [blk[3] for blk in e[4]],
+        )
+        tf = t.astype(np.float64)
+        dl = l_.astype(np.float64)
+        return d, e[0] * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
     # 1. bootstrap theta from the strongest term
     boot = int(np.argmax(total_ubs))
@@ -283,17 +287,11 @@ def _pruned_query(qid: str, term_blocks: dict, k: int):
         touch = np.nonzero(hi > lo)[0]
         if touch.size == 0:
             continue
-        bds, bts, bls = [], [], []
-        k1 = b = avgdl = None
-        for bi in touch:
-            f, docs, tfs, dls, k1, b, avgdl = e[4][bi]
-            d2, t2, l2 = decode_block(f, docs, tfs, dls)
-            bds.append(d2)
-            bts.append(t2)
-            bls.append(l2)
-        bd2 = np.concatenate(bds)
-        bt = np.concatenate(bts)
-        bl = np.concatenate(bls)
+        k1, b, avgdl = e[4][0][4], e[4][0][5], e[4][0][6]
+        bd2, bt, bl = decode_blocks_batch(
+            [e[4][bi][0] for bi in touch], [e[4][bi][1] for bi in touch],
+            [e[4][bi][2] for bi in touch], [e[4][bi][3] for bi in touch],
+        )
         pos = np.searchsorted(cand, bd2)
         pos[pos >= cand.size] = 0
         hitmask = cand[pos] == bd2
@@ -327,16 +325,21 @@ def _auto_query(qid: str, term_blocks: dict, k: int):
 
 
 def _exact_query(qid: str, term_blocks: dict, k: int):
-    """Exact path: decode every block of every query term, vectorized
-    accumulate, top-k."""
+    """Exact path: decode every block of every query term (ONE batched
+    varint pass per term per stream), vectorized accumulate, top-k."""
     all_d, all_s = [], []
     for weight, firsts, lasts, ubs, blocks in term_blocks.values():
-        for f, docs, tfs, dls, k1, b, avgdl in blocks:
-            d, t, l_ = decode_block(f, docs, tfs, dls)
-            tf = t.astype(np.float64)
-            dl = l_.astype(np.float64)
-            all_d.append(d)
-            all_s.append(weight * tf / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+        if not blocks:
+            continue
+        k1, b, avgdl = blocks[0][4], blocks[0][5], blocks[0][6]
+        d, t, l_ = decode_blocks_batch(
+            [blk[0] for blk in blocks], [blk[1] for blk in blocks],
+            [blk[2] for blk in blocks], [blk[3] for blk in blocks],
+        )
+        tf = t.astype(np.float64)
+        dl = l_.astype(np.float64)
+        all_d.append(d)
+        all_s.append(weight * tf / (tf + k1 * (1.0 - b + b * dl / avgdl)))
     if not all_d:
         return []
     d = np.concatenate(all_d)

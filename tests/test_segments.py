@@ -361,3 +361,43 @@ def test_doc_layout_persistence_roundtrip(spark, index, tiny_queries, tmp_path):
     assert a == b
     with pytest.raises(ValueError, match="term-bucketed layout"):
         SegmentReader(root)
+
+
+def test_decode_blocks_batch_equivalence():
+    """Batched varint decode == per-block decode on random block sets,
+    including single-posting blocks and out-of-order block lists."""
+    from flagembedding_spark.operators.segments import (
+        _emit_term_blocks,
+        decode_blocks_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for _ in range(50):
+        n = int(rng.integers(1, 40))
+        d = np.cumsum(rng.integers(1, 1000, size=n)).astype(np.int64) + int(
+            rng.integers(0, 2**40)
+        )
+        t = rng.integers(1, 90, size=n).astype(np.int64)
+        l_ = rng.integers(n, 4000, size=n).astype(np.int64)
+        out = []
+        _emit_term_blocks(0, "t", d, t, l_, 16, 1.2, 0.75, 100.0, out)
+        for r in out:
+            rows.append((r[4], r[7], r[8], r[9]))
+    rng.shuffle(rows)
+
+    bd, bt, bl = decode_blocks_batch(
+        [r[0] for r in rows], [r[1] for r in rows],
+        [r[2] for r in rows], [r[3] for r in rows],
+    )
+    ed, et, el = [], [], []
+    for f, docs, tfs, dls in rows:
+        d2, t2, l2 = decode_block(f, docs, tfs, dls)
+        ed.append(d2); et.append(t2); el.append(l2)
+    assert np.array_equal(bd, np.concatenate(ed))
+    assert np.array_equal(bt, np.concatenate(et))
+    assert np.array_equal(bl, np.concatenate(el))
+    assert np.array_equal(
+        *(x[0] for x in [decode_blocks_batch([], [], [], [])]),
+        np.empty(0, dtype=np.int64),
+    )
