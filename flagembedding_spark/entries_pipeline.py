@@ -1485,3 +1485,32 @@ FROM media
 
 PIPELINE_ENTRIES["media_meta"] = q_media_meta
 PIPELINE_ORACLE_SQL["media_meta"] = _media_meta_sql()
+
+
+def q_bm25_topk_wand_docpart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship via the DOCID-PARTITIONED layout (hot-query parallel form):
+    must be rank-identical to the DataFrame path and the term-bucketed
+    segment path — same oracle SQL as bm25_topk."""
+    from pyspark.sql.window import Window
+
+    from flagembedding_spark.operators.segments import (
+        build_doc_partitioned_segments,
+    )
+    from flagembedding_spark.operators.wand import wand_topk
+
+    idx = build_doc_index(spark, sf_dir)
+    dseg = build_doc_partitioned_segments(idx, n_parts=8)
+    raw = wand_topk(dseg, _queries_df(spark), k=TOPK + 50, use_wand=True)
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 4)), F.asc("docid")
+    )
+    return (
+        raw.withColumn("score", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "docid", "score", "rank")
+    )
+
+
+PIPELINE_ENTRIES["bm25_topk_wand_docpart"] = q_bm25_topk_wand_docpart
+PIPELINE_ORACLE_SQL["bm25_topk_wand_docpart"] = bm25_sql(K1, B, TOPK, use_avgdl=True)
