@@ -27,7 +27,9 @@ from flagembedding_spark.functions.tokenize import whitespace_tokens
 def positional_postings(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """→ (docid, term, tf, positions array<int> ascending, 0-based)."""
+    """→ (docid, term, tf, positions array<long> ascending, 0-based).
+    Positions are long so the cross-engine value hash matches DuckDB's
+    BIGINT lists element-type-exactly."""
     toks = whitespace_tokens(text_col)
     return (
         df.select(
@@ -37,7 +39,9 @@ def positional_postings(
         .groupBy("docid", "term")
         .agg(
             F.count("*").cast("long").alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
+            F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias(
+                "positions"
+            ),
         )
     )
 
