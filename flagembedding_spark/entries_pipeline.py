@@ -1514,3 +1514,82 @@ def q_bm25_topk_wand_docpart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIPELINE_ENTRIES["bm25_topk_wand_docpart"] = q_bm25_topk_wand_docpart
 PIPELINE_ORACLE_SQL["bm25_topk_wand_docpart"] = bm25_sql(K1, B, TOPK, use_avgdl=True)
+
+
+# ---------------------------------------------------------------------------
+# event-stream analytics over the driver's events table (batch forms; the
+# streaming twins are tested stream==batch in tests/test_streaming_windowed)
+# ---------------------------------------------------------------------------
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.events import windowed_event_counts
+
+    return windowed_event_counts(_events(spark, sf_dir))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.events import sessionize
+
+    return sessionize(_events(spark, sf_dir))
+
+
+def q_event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.events import event_props_extract
+
+    return event_props_extract(_events(spark, sf_dir))
+
+
+_WINDOWED_EVENTS_SQL = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, value, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events, min(sec) AS start_s, max(sec) AS end_s,
+       round(sum(value), 6) AS sum_value
+FROM sess GROUP BY 1, 2
+"""
+
+_PROPS_SQL = """
+SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events
+"""
+
+PIPELINE_ENTRIES.update(
+    {
+        "windowed_event_counts": q_windowed_event_counts,
+        "sessionize": q_sessionize,
+        "event_props_extract": q_event_props_extract,
+    }
+)
+PIPELINE_ORACLE_SQL.update(
+    {
+        "windowed_event_counts": _WINDOWED_EVENTS_SQL,
+        "sessionize": _SESSIONIZE_SQL,
+        "event_props_extract": _PROPS_SQL,
+    }
+)

@@ -1,0 +1,107 @@
+"""Streaming twins vs batch operators: watermarked windowed aggregation
+(stream == batch on the same data; late-within-watermark events included)
+and keep-first stateful dedup across micro-batches."""
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from flagembedding_spark.operators.events import windowed_event_counts
+from flagembedding_spark.streaming.windowed import (
+    start_streaming_dedup,
+    start_windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def tmproot():
+    d = tempfile.mkdtemp(prefix="fes_swin_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_events(path, name, rows):
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/{name}.json", "w") as f:
+        for eid, ts, uid, etype, val in rows:
+            f.write(json.dumps({
+                "event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": etype, "value": val,
+            }) + "\n")
+
+
+WAVE1 = [
+    (0, "2024-01-01 00:10:00", 1, "click", 1.0),
+    (1, "2024-01-01 00:40:00", 2, "view", 2.0),
+    (2, "2024-01-01 01:10:00", 1, "click", 3.0),
+]
+WAVE2 = [
+    (3, "2024-01-01 03:05:00", 3, "view", 4.0),   # advances watermark to 01:05
+    (4, "2024-01-01 00:50:00", 2, "click", 5.0),  # LATE but within watermark
+]
+
+
+def test_windowed_stream_matches_batch_with_late_data(spark, tmproot):
+    inp = f"{tmproot}/in"
+    ck = f"{tmproot}/ck"
+    _write_events(inp, "w1", WAVE1)
+    out = f"{tmproot}/out"
+    q = start_windowed_event_counts(spark, inp, ck, out)
+    q.awaitTermination(120)
+    _write_events(inp, "w2", WAVE2)
+    q = start_windowed_event_counts(spark, inp, ck, out)
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # hour-0 windows finalized once the watermark (03:05 − 2h) passed 01:00 —
+    # and they INCLUDE the late 00:50 event from wave 2
+    all_rows = WAVE1 + WAVE2
+    batch = spark.createDataFrame(
+        [(e, t, u, k, v) for e, t, u, k, v in all_rows],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    want_all = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(batch).collect()
+    }
+    hour0 = {k: v for k, v in want_all.items()
+             if k[0] < 1704070800}  # windows ending ≤ 01:00 UTC
+    for k, v in hour0.items():
+        assert got.get(k) == v, (k, got.get(k), v)
+    # the late event really landed in its hour-0 window
+    late_key = next(k for k in hour0 if k[1] == "click" and k[0] == 1704067200)
+    assert got[late_key][0] == 2  # 00:10 click + late 00:50 click
+
+
+def test_streaming_dedup_keep_first_across_batches(spark, tmproot):
+    inp = f"{tmproot}/docs"
+    ck = f"{tmproot}/ck2"
+
+    def wave(name, rows):
+        os.makedirs(inp, exist_ok=True)
+        with open(f"{inp}/{name}.json", "w") as f:
+            for i, t in rows:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    out = f"{tmproot}/dedup_out"
+    wave("w1", [(10, "alpha"), (11, "beta"), (12, "alpha")])
+    q = start_streaming_dedup(spark, inp, ck, out)
+    q.awaitTermination(120)
+    wave("w2", [(13, "alpha"), (14, "gamma"), (15, "beta")])
+    q = start_streaming_dedup(spark, inp, ck, out)
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    got = {(r["text_sha"], r["doc_id"]) for r in rows}
+    sha = {t: spark.sql(f"SELECT sha2('{t}', 256) s").first()["s"]
+           for t in ("alpha", "beta", "gamma")}
+    # each content once, smallest doc_id of its FIRST batch, never re-emitted
+    assert got == {(sha["alpha"], 10), (sha["beta"], 11), (sha["gamma"], 14)}
+    assert all(r["is_first"] for r in rows)
