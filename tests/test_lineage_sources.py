@@ -177,3 +177,37 @@ def test_msmarco_roundtrip(spark, tmproot):
     back = read_msmarco_run(spark, f"{tmproot}/ms")
     got = sorted((r["qid"], int(r["docid"]), r["rank"]) for r in back.collect())
     assert got == sorted((q, d, rk) for q, d, _, rk in rows)
+
+
+def test_resumed_docid_values_match_single_shot(spark, tiny_corpus, tmproot):
+    """Chunk-dense docid assignment: a crashed-then-resumed build assigns the
+    SAME docid VALUES as a single-shot resumable build (not just the same
+    docid_str mapping) — chunk-local ids are independent of wave composition."""
+    import shutil
+
+    cfg = BM25Config()
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_resumable(tiny_corpus, tmproot, cfg, n_chunks=6,
+                        fail_after_chunks=2)
+    build_resumable(tiny_corpus, tmproot, cfg, n_chunks=6)
+    idx_resumed = finalize_resumable(spark, tmproot, cfg)
+    resumed = {r["docid_str"]: r["docid"]
+               for r in idx_resumed.doc_stats.collect()}
+
+    other = tmproot + "_single"
+    try:
+        build_resumable(tiny_corpus, other, cfg, n_chunks=6)
+        idx_single = finalize_resumable(spark, other, cfg)
+        single = {r["docid_str"]: r["docid"]
+                  for r in idx_single.doc_stats.collect()}
+    finally:
+        shutil.rmtree(other, ignore_errors=True)
+
+    assert resumed == single
+    # and the chunk-local id space is dense from 0 within each chunk
+    from collections import defaultdict
+    by_chunk = defaultdict(list)
+    for d in resumed.values():
+        by_chunk[d >> 40].append(d & ((1 << 40) - 1))
+    for chunk, locals_ in by_chunk.items():
+        assert sorted(locals_) == list(range(len(locals_))), chunk
