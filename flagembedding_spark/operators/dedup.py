@@ -335,14 +335,18 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "lsh",
+    method: str = "exact",
     n_tables: int = 24,
     planes_per_table: int = 3,
     seed: int = 271,
 ) -> DataFrame:
     """Cosine-threshold near-dup pairs → (id_a, id_b, cosine ≥ threshold).
 
-    method='lsh' (default — the scale path): candidates come from a
+    method='exact' (default): the O(n²) self-join — exact recall, callers
+    get deterministic semantics unless they opt in to approximation
+    (ADVICE r02: silently switching the public default to probabilistic
+    recall is a trap at thresholds below ~0.9). method='lsh' is the scale
+    path and what the pipeline entry uses: candidates come from a
     hyperplane-LSH bucket self-join (pairs colliding in ≥1 of L tables of r
     sign bits), then EXACT cosine rescoring on candidates only — no false
     positives, misses bounded by (1−p^r)^L with p = 1−θ/π. The corpus is

@@ -287,7 +287,11 @@ def expand_impact_queries(
     qtf == quantized weight; queries whose expansion is empty become the
     literal '0' (step0-encode_query-and-corpus.py:143-166). Input
     (qid, term, weight) → (qid, query)."""
-    qtf = F.ceil(F.col("weight") * quantize).cast("int")
+    # round to 6dp before ceil: IEEE doubles make w*quantize overshoot exact
+    # integers (0.56*100 = 56.000000000000007 → ceil 57 vs the oracle's exact
+    # 56); 6dp absorbs the ulp without changing any genuine fractional case
+    # (ADVICE r02)
+    qtf = F.ceil(F.round(F.col("weight") * quantize, 6)).cast("int")
     per_term = qweights.select(
         "qid",
         F.struct(F.col("term"), qtf.alias("qtf")).alias("tw"),

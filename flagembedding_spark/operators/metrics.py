@@ -77,9 +77,12 @@ def retrieval_metrics_binary(
             .join(nlab, "qid", "left")
             .select(
                 F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0)).alias("rr"),
-                (
-                    F.coalesce(F.col("n_hit"), F.lit(0))
-                    / F.col("n_label")
+                # a qid with predictions but NO labels contributes 0 (like
+                # mrr/ndcg) instead of a NULL that F.avg silently drops —
+                # 'means over queries present in predictions' (ADVICE r02)
+                F.coalesce(
+                    F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_label"),
+                    F.lit(0.0),
                 ).alias("recall"),
                 F.coalesce(F.col("dcg") / idcg, F.lit(0.0)).alias("ndcg"),
             )

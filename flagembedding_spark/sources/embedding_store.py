@@ -76,7 +76,6 @@ def build_embedding_store(
         F.col(vec_col).alias("embedding"),
         shard.alias("_shard"),
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     counts: dict[int, int] = {}
     step = max(wave_size or len(missing) or 1, 1)
     for w in range(0, len(missing), step):
@@ -85,9 +84,12 @@ def build_embedding_store(
         wave = missing[w : w + step]
         t0 = time.perf_counter()
         part = src.filter(F.col("_shard").isin(wave))
-        part.write.mode("overwrite").partitionBy("_shard").parquet(
-            f"{root}/shards"
-        )
+        # writer-scoped dynamic overwrite (NOT a session conf set — that
+        # would silently flip later overwrite writes in the same session
+        # from truncate-all to dynamic; ADVICE r02)
+        part.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_shard").parquet(f"{root}/shards")
         wave_counts = {
             r["_shard"]: r["cnt"]
             for r in spark.read.parquet(f"{root}/shards")

@@ -2,7 +2,14 @@
 entry on Spark and its oracle_sql() twin on DuckDB over the same parquet
 tables, compare row count, column names, and order-insensitive values.
 
-Usage: python tools/check_entries.py [sf_dir]
+Canonicalization mirrors the DRIVER's pandas path (VERDICT r02 ask #8):
+both sides go through pandas, columns sorted by name, then a
+``sort_values`` over ALL columns — which raises ``TypeError: unhashable
+type`` on list/array cells exactly like the driver's canonicalizer did on
+r02's ``positional_postings``. Entries must therefore emit only scalar
+columns; array-typed Spark output columns are rejected up front.
+
+Usage: python tools/check_entries.py [sf_dir] [only_entry ...]
 """
 
 from __future__ import annotations
@@ -13,23 +20,56 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
 
+# pandas dtype kinds the driver's schema hash distinguishes; both engines'
+# outputs are mapped here so int32-vs-int64 etc. fail loudly
+_KIND = {
+    "int8": "i8", "int16": "i16", "int32": "i32", "int64": "i64",
+    "Int8": "i8", "Int16": "i16", "Int32": "i32", "Int64": "i64",
+    "uint8": "i8", "uint16": "i16", "uint32": "i32", "uint64": "i64",
+    "float32": "f", "float64": "f", "bool": "b", "boolean": "b",
+    "object": "o", "string": "o",
+}
 
-def canon(v):
-    if isinstance(v, float):
-        return round(v, 6)
-    if hasattr(v, "__float__") and type(v).__name__ == "Decimal":
-        return round(float(v), 6)
-    return v
+
+def _canon_frame(df: pd.DataFrame, name: str) -> pd.DataFrame:
+    """Driver-shaped canonical form: name-sorted columns, floats rounded to
+    6dp, full-column sort_values (raises on unhashable cells), fresh index."""
+    cols = sorted(df.columns)
+    df = df[cols].copy()
+    for c in cols:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+        elif df[c].dtype == object:
+            # reject list/array/dict cells the way the driver dies on them,
+            # but with a readable message naming the entry and column
+            bad = df[c].map(lambda v: isinstance(v, (list, dict, np.ndarray)))
+            if bad.any():
+                raise TypeError(
+                    f"{name}: column {c!r} holds unhashable "
+                    f"{type(df[c][bad.idxmax()]).__name__} cells — the "
+                    "driver's canonicalizer cannot hash these; emit a "
+                    "scalar (e.g. array_join) instead"
+                )
+    if len(df):
+        df = df.sort_values(by=cols, kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def _kinds(df: pd.DataFrame) -> dict[str, str]:
+    return {c: _KIND.get(str(df[c].dtype), str(df[c].dtype)) for c in df.columns}
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     import __spark_entry__ as e
     from flagembedding_spark.session import get_spark
 
@@ -43,70 +83,81 @@ def main() -> int:
     queries, oracles = e.queries(), e.oracle_sql()
     failures = 0
     for name, fn in queries.items():
+        if only and name not in only:
+            continue
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = sorted(
-                tuple(canon(v) for v in row) for row in sdf.collect()
-            )
+            # driver fidelity: any array/map column in the Spark schema is a
+            # guaranteed driver crash — fail before even collecting
+            for f_ in sdf.schema.fields:
+                t = f_.dataType.simpleString()
+                if t.startswith(("array", "map", "struct")):
+                    raise TypeError(
+                        f"output column {f_.name!r} has non-scalar type {t}"
+                    )
+            spd = _canon_frame(sdf.toPandas(), name)
         except Exception as ex:
             print(f"FAIL {name}: spark error {ex}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"ok   {name}: rows={len(srows)} (no oracle — rows-only)")
+            print(f"ok   {name}: rows={len(spd)} (no oracle — rows-only)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = sorted(tuple(canon(v) for v in r) for r in res.fetchall())
+            dpd = _canon_frame(con.execute(oracles[name]).df(), name)
         except Exception as ex:
             print(f"FAIL {name}: duckdb error {ex}")
             failures += 1
             continue
-        # driver sorts columns by name before hashing — do the same
-        sidx = sorted(range(len(scols)), key=lambda i: scols[i])
-        didx = sorted(range(len(dcols)), key=lambda i: dcols[i])
-        if sorted(scols) != sorted(dcols):
-            print(f"FAIL {name}: columns {scols} vs {dcols}")
+        if sorted(spd.columns) != sorted(dpd.columns):
+            print(f"FAIL {name}: columns {list(spd.columns)} vs {list(dpd.columns)}")
             failures += 1
             continue
-        # coarse dtype compatibility (int32 vs int64 etc. would fail a strict
-        # schema hash): map both sides to {int32,int64,float,str,other}
-        spark_kind = {
-            "int": "int32", "bigint": "int64", "double": "float",
-            "float": "float", "string": "str", "decimal": "other",
-        }
-        duck_kind = {
-            "INTEGER": "int32", "BIGINT": "int64", "HUGEINT": "hugeint",
-            "DOUBLE": "float", "FLOAT": "float", "VARCHAR": "str",
-        }
-        skinds = {
-            f.name: spark_kind.get(f.dataType.simpleString().split("(")[0], "other")
-            for f in sdf.schema.fields
-        }
-        dkinds = {
-            d[0]: duck_kind.get(str(res.description[i][1]).split(".")[-1].upper(), None)
-            for i, d in enumerate(res.description)
-        }
-        type_notes = [
-            f"{c}: spark={skinds[c]}"
-            for c in scols
-            if dkinds.get(c) is not None and skinds[c] != dkinds[c]
+        sk, dk = _kinds(spd), _kinds(dpd)
+        # duckdb count() returns int64 like spark's; int-width mismatches are
+        # real driver schema-hash risks → fail, not warn
+        width_bad = [
+            c for c in spd.columns
+            if sk[c] != dk[c] and not (
+                # NULL-able duckdb ints come back float64 with NaN — allow
+                # when the spark side is int and values match after cast
+                {sk[c], dk[c]} <= {"f", "i32", "i64"} and "f" in (sk[c], dk[c])
+            )
         ]
-        if type_notes:
-            print(f"WARN {name}: dtype mismatch {type_notes}")
-        s2 = sorted(tuple(r[i] for i in sidx) for r in srows)
-        d2 = sorted(tuple(r[i] for i in didx) for r in drows)
-        if len(s2) != len(d2):
-            print(f"FAIL {name}: rowcount {len(s2)} vs {len(d2)}")
+        if width_bad:
+            print(
+                f"FAIL {name}: dtype mismatch "
+                f"{[f'{c}: spark={sk[c]} duckdb={dk[c]}' for c in width_bad]}"
+            )
             failures += 1
-        elif s2 != d2:
-            diff = [(a, b) for a, b in zip(s2, d2) if a != b][:3]
-            print(f"FAIL {name}: value mismatch, e.g. {diff}")
+            continue
+        if len(spd) != len(dpd):
+            print(f"FAIL {name}: rowcount {len(spd)} vs {len(dpd)}")
+            failures += 1
+            continue
+        # value compare on the canonical frames (floats already 6dp-rounded;
+        # int-vs-float columns compared as float)
+        mismatch = None
+        for c in spd.columns:
+            a, b = spd[c], dpd[c]
+            if "f" in (sk[c], dk[c]):
+                ok = np.allclose(
+                    a.astype("float64").fillna(np.nan),
+                    b.astype("float64").fillna(np.nan),
+                    rtol=0, atol=1e-6, equal_nan=True,
+                )
+            else:
+                ok = a.equals(b) or (a.astype(str).values == b.astype(str).values).all()
+            if not ok:
+                d = a.astype(str).values != b.astype(str).values
+                i = int(np.argmax(d))
+                mismatch = f"col {c!r} row {i}: {a.iloc[i]!r} vs {b.iloc[i]!r}"
+                break
+        if mismatch:
+            print(f"FAIL {name}: value mismatch — {mismatch}")
             failures += 1
         else:
-            print(f"ok   {name}: rows={len(s2)} cols={sorted(scols)}")
+            print(f"ok   {name}: rows={len(spd)} cols={sorted(spd.columns)}")
     spark.stop()
     return failures
 
