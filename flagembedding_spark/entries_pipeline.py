@@ -1308,16 +1308,39 @@ idx AS (SELECT unnest(generate_series(1, {MAX_TOKENS_BOUND})) AS i)
 """
 
 
+def q_phrase_match_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same phrase set and ORACLE as phrase_match, but answered from the
+    compressed segment store's varint position streams (-storePositions
+    read path) instead of the postings DataFrame — proves store and
+    DataFrame forms agree (VERDICT r02 ask #3)."""
+    from flagembedding_spark.operators.index_build import index_from_postings
+    from flagembedding_spark.operators.positions import (
+        phrase_match_segments,
+        positional_postings_full,
+    )
+    from flagembedding_spark.operators.segments import (
+        build_segments,
+        merge_segments,
+    )
+
+    pos = positional_postings_full(_docs(spark, sf_dir))
+    idx = index_from_postings(pos)
+    seg = merge_segments(build_segments(idx, store_positions=True))
+    return phrase_match_segments(seg, PHRASES)
+
+
 PIPELINE_ENTRIES.update(
     {
         "positional_postings": q_positional_postings,
         "phrase_match": q_phrase_match,
+        "phrase_match_segments": q_phrase_match_segments,
     }
 )
 PIPELINE_ORACLE_SQL.update(
     {
         "positional_postings": _POSITIONAL_SQL,
         "phrase_match": _phrase_match_sql(),
+        "phrase_match_segments": _phrase_match_sql(),
     }
 )
 

@@ -254,6 +254,43 @@ def _build_index_arrow(
     )
 
 
+def index_from_postings(
+    postings: DataFrame, config: BM25Config | None = None, cache: bool = True
+) -> InvertedIndex:
+    """Construct the logical index from PREBUILT postings
+    (term, docid, tf, dl[, positions]) — e.g. positional postings headed
+    for a -storePositions segment build. Stats and dictionary are derived
+    with one aggregate each; doc_stats carries only (docid, dl) (no source
+    row to hash)."""
+    config = config or BM25Config()
+    if cache:
+        postings = postings.cache()
+    doc_stats = (
+        postings.groupBy("docid")
+        .agg(F.first("dl").alias("dl"))
+        .select(
+            "docid", F.col("docid").cast("string").alias("docid_str"), "dl",
+            F.lit(None).cast("string").alias("content_sha256"),
+        )
+    )
+    row = doc_stats.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    stats = CorpusStats(n_docs=int(row["n"]), avgdl=float(row["avgdl"] or 0.0))
+    n = F.lit(float(stats.n_docs))
+    dictionary = (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn(
+            "idf", F.log((n - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        )
+    )
+    return InvertedIndex(
+        postings=postings, doc_stats=doc_stats, dictionary=dictionary,
+        stats=stats, config=config,
+    )
+
+
 def impact_postings(
     index: InvertedIndex, quantize: int = 100
 ) -> DataFrame:

@@ -46,6 +46,172 @@ def positional_postings(
     )
 
 
+def positional_postings_full(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Segment-ready positional postings: (term, docid, tf, dl, positions).
+    Same ONE shuffle as the tf aggregation — dl (unfiltered token count)
+    rides along as a grouping key it is functionally dependent on. Feed to
+    segments.build_segments(..., store_positions=True)."""
+    toks = whitespace_tokens(text_col)
+    return (
+        df.select(
+            F.col(id_col).alias("docid"),
+            F.size(toks).cast("long").alias("dl"),
+            F.posexplode(toks).alias("pos", "term"),
+        )
+        .groupBy("docid", "term", "dl")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias(
+                "positions"
+            ),
+        )
+        .select("term", "docid", "tf", "dl", "positions")
+    )
+
+
+# positions-per-doc bound for the packed (docid, start) intersection key:
+# key = docid * _POS_KEY + (pos - idx) must fit int64, so docid < 2^41 with
+# 2^22 positions/doc — both far above the lineage docid ceiling (2^40) and
+# any real document length
+_POS_KEY = 1 << 22
+
+PHRASE_RESULT_DDL = "qid string, docid long, n_occ long"
+
+
+def phrase_match_segments(
+    seg,
+    phrases: list[tuple[str, str]],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact adjacent-phrase matching THROUGH the compressed segment store
+    (reads varint position streams; never re-derives positions from the
+    corpus) → (qid, docid, n_occ). The Anserini index answers phrase
+    queries from its own -storePositions postings
+    (modeling_bm25.py:102-107); this is that read path, Spark-native.
+
+    Plan mirrors wand_topk: literal IN(term) pushed into the block scan +
+    bucket partition pruning (term layout), broadcast the tiny
+    (qid, idx, m, term) phrase table, repartition by qid so one task holds
+    one query's blocks, then a vectorized kernel intersects per-term
+    (docid, pos−idx) key sets — start positions of the phrase are the keys
+    surviving all m intersections."""
+    import numpy as np
+    import pyarrow as pa
+
+    from flagembedding_spark.operators.segments import (
+        decode_blocks_batch,
+        decode_positions,
+    )
+
+    if not seg.has_positions:
+        raise ValueError(
+            "segment index was built without positions "
+            "(store_positions=True required for phrase queries)"
+        )
+    spark = seg.blocks.sparkSession
+    qt_rows = []
+    for qid, phrase in phrases:
+        terms = phrase.split(" ")
+        if not terms or terms == [""]:
+            raise ValueError(f"empty phrase for qid {qid!r}")
+        for i, t in enumerate(terms):
+            qt_rows.append((qid, i, len(terms), t))
+    qt = spark.createDataFrame(
+        qt_rows, "qid string, idx int, m int, term string"
+    )
+    all_terms = sorted({r[3] for r in qt_rows})
+    blocks = seg.blocks.filter(F.col("term").isin(all_terms))
+    if getattr(seg, "layout", "term") == "term" and "bucket" in blocks.columns:
+        buckets = sorted(
+            {
+                r["b"]
+                for r in spark.createDataFrame([(t,) for t in all_terms], ["term"])
+                .select(
+                    F.pmod(F.xxhash64("term"), F.lit(seg.config.term_buckets))
+                    .cast("int")
+                    .alias("b")
+                )
+                .collect()
+            }
+        )
+        blocks = blocks.filter(F.col("bucket").isin(buckets))
+    cand = blocks.join(F.broadcast(qt), "term")
+    n_part = num_partitions or min(
+        max(spark.sparkContext.defaultParallelism, 4), 64
+    )
+    cand = cand.repartition(n_part, "qid")
+
+    out_pa = pa.schema(
+        [
+            pa.field("qid", pa.string()),
+            pa.field("docid", pa.int64()),
+            pa.field("n_occ", pa.int64()),
+        ]
+    )
+
+    def match_partition(batches):
+        per: dict[str, dict[int, list]] = {}
+        m_of: dict[str, int] = {}
+        for batch in batches:
+            qids = batch.column("qid").to_pylist()
+            idxs = batch.column("idx").to_pylist()
+            ms = batch.column("m").to_pylist()
+            firsts = batch.column("docid_first").to_pylist()
+            docs = batch.column("docs").to_pylist()
+            tfs = batch.column("tfs").to_pylist()
+            dls = batch.column("dls").to_pylist()
+            poss = batch.column("poss").to_pylist()
+            for i, q in enumerate(qids):
+                m_of[q] = ms[i]
+                per.setdefault(q, {}).setdefault(idxs[i], []).append(
+                    (firsts[i], docs[i], tfs[i], dls[i], poss[i])
+                )
+        o_q, o_d, o_n = [], [], []
+        for q, groups in per.items():
+            m = m_of[q]
+            if len(groups) < m:
+                continue  # some phrase position's term is absent entirely
+            keys = None
+            for idx in range(m):
+                g = groups[idx]
+                d, t, _l = decode_blocks_batch(
+                    [x[0] for x in g], [x[1] for x in g],
+                    [x[2] for x in g], [x[3] for x in g],
+                )
+                pflat = decode_positions(b"".join(x[4] for x in g), t)
+                doc_rep = np.repeat(d, t)
+                mask = pflat >= idx
+                k = doc_rep[mask] * _POS_KEY + (pflat[mask] - idx)
+                keys = (
+                    k
+                    if keys is None
+                    else np.intersect1d(keys, k, assume_unique=True)
+                )
+                if keys.size == 0:
+                    break
+            if keys is None or keys.size == 0:
+                continue
+            ud, counts = np.unique(keys // _POS_KEY, return_counts=True)
+            o_q.extend([q] * ud.size)
+            o_d.extend(int(x) for x in ud)
+            o_n.extend(int(c) for c in counts)
+        if o_q:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_q, pa.string()),
+                    pa.array(o_d, pa.int64()),
+                    pa.array(o_n, pa.int64()),
+                ],
+                schema=out_pa,
+            )
+
+    return cand.select(
+        "qid", "idx", "m", "docid_first", "docs", "tfs", "dls", "poss"
+    ).mapInArrow(match_partition, PHRASE_RESULT_DDL)
+
+
 def phrase_occurrences(
     positional: DataFrame, phrase: str, qid: str | None = None
 ) -> DataFrame:

@@ -112,13 +112,58 @@ BLOCK_SCHEMA_PA = pa.schema(
         pa.field("docs", pa.binary(), nullable=False),
         pa.field("tfs", pa.binary(), nullable=False),
         pa.field("dls", pa.binary(), nullable=False),
+        # varint positions stream (Anserini -storePositions analog,
+        # modeling_bm25.py:102-107): per posting, tf deltas — first position
+        # absolute, rest gaps. EMPTY unless the index is built with
+        # store_positions=True, so BM25-only indexes pay zero bytes.
+        pa.field("poss", pa.binary(), nullable=False),
     ]
 )
 
 BLOCK_SCHEMA_DDL = (
     "bucket int, term string, block_ord int, n int, docid_first long, "
-    "docid_last long, max_tfn double, docs binary, tfs binary, dls binary"
+    "docid_last long, max_tfn double, docs binary, tfs binary, dls binary, "
+    "poss binary"
 )
+
+
+def encode_positions(flat: np.ndarray, counts: np.ndarray) -> bytes:
+    """Varint-encode per-posting position lists: ``flat`` is the
+    concatenation of each posting's ascending positions, ``counts`` the list
+    length per posting (== tf). Within a posting the first position is
+    absolute and the rest are gaps (≥1), so the stream stays small for
+    clustered terms."""
+    if flat.size == 0:
+        return b""
+    f = flat.astype(np.int64)
+    d = f.copy()
+    d[1:] -= f[:-1]
+    starts = np.cumsum(counts) - counts
+    d[starts] = f[starts]
+    return varint_encode(d.astype(np.uint64))
+
+
+def decode_positions(buf: bytes, counts: np.ndarray) -> np.ndarray:
+    """Inverse of encode_positions: → flat positions array aligned with the
+    postings whose per-posting counts are ``counts`` (the decoded tfs)."""
+    d = varint_decode(buf).astype(np.int64)
+    if d.size == 0:
+        return d
+    c = np.cumsum(d)
+    starts = np.cumsum(counts) - counts
+    seg0 = c[starts] - d[starts]
+    return c - np.repeat(seg0, counts)
+
+
+def _gather_segments(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized gather of variable-length segments: concatenate
+    flat[starts[i] : starts[i]+lens[i]] for every i, no Python loop."""
+    total = int(lens.sum())
+    if total == 0:
+        return flat[:0]
+    out_seg_starts = np.cumsum(lens) - lens
+    idx = np.repeat(starts - out_seg_starts, lens) + np.arange(total, dtype=np.int64)
+    return flat[idx]
 
 
 def _tfn(tf: np.ndarray, dl: np.ndarray, k1: float, b: float, avgdl: float) -> np.ndarray:
@@ -139,11 +184,17 @@ def _emit_term_blocks(
     avgdl: float,
     out: list,
     block_ord_start: int = 0,
+    pos_flat: np.ndarray | None = None,
 ) -> int:
     """Chunk one term's docid-sorted postings into encoded blocks. Appends
-    row tuples to ``out``; returns next block_ord."""
+    row tuples to ``out``; returns next block_ord. ``pos_flat`` is the
+    concatenated per-posting positions (tf values per posting) — encoded
+    into the block's ``poss`` stream when given, else empty bytes."""
     n = docids.size
     ord_ = block_ord_start
+    pstarts = None
+    if pos_flat is not None:
+        pstarts = np.cumsum(tfs.astype(np.int64)) - tfs
     for s in range(0, n, block_size):
         e = min(s + block_size, n)
         d = docids[s:e]
@@ -153,6 +204,10 @@ def _emit_term_blocks(
         gaps[0] = 0  # first docid stored absolutely in docid_first
         if d.size > 1:
             gaps[1:] = (d[1:] - d[:-1]).astype(np.uint64)
+        poss = b""
+        if pos_flat is not None:
+            pflat = pos_flat[pstarts[s] : pstarts[e - 1] + t[-1]]
+            poss = encode_positions(np.asarray(pflat), t.astype(np.int64))
         out.append(
             (
                 bucket,
@@ -165,6 +220,7 @@ def _emit_term_blocks(
                 varint_encode(gaps),
                 varint_encode(t.astype(np.uint64)),
                 varint_encode(l_.astype(np.uint64)),
+                poss,
             )
         )
         ord_ += 1
@@ -185,6 +241,7 @@ def _rows_to_batch(rows: list) -> pa.RecordBatch:
             pa.array(cols[7], pa.binary()),
             pa.array(cols[8], pa.binary()),
             pa.array(cols[9], pa.binary()),
+            pa.array(cols[10], pa.binary()),
         ],
         schema=BLOCK_SCHEMA_PA,
     )
@@ -233,20 +290,27 @@ class SegmentIndex:
     stats: CorpusStats
     config: BM25Config
     layout: str = "term"  # 'term' (bucket = term hash) | 'doc' (bucket = doc hash)
+    has_positions: bool = False  # poss streams populated (phrase queries)
 
     @property
     def avgdl_effective(self) -> float:
         return self.stats.avgdl if self.config.use_avgdl else 1.0
 
 
-def _make_block_writer(block_size: int, k1: float, b: float, avgdl: float):
+def _make_block_writer(
+    block_size: int, k1: float, b: float, avgdl: float,
+    store_positions: bool = False,
+):
     """mapInArrow kernel: partition sorted by (term, docid) → encoded blocks.
     Run boundaries are found on the DICTIONARY-ENCODED term column, so the
-    Python-level work is O(#distinct terms), never O(#postings)."""
+    Python-level work is O(#distinct terms), never O(#postings). With
+    ``store_positions`` the input carries a ``positions`` list<long> column
+    (ascending per posting) that is varint-encoded into each block's
+    ``poss`` stream."""
 
     def write_blocks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         cur: tuple | None = None  # (bucket, term)
-        bufs: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        bufs: list[tuple] = []
         rows: list = []
 
         def flush_term():
@@ -255,8 +319,12 @@ def _make_block_writer(block_size: int, k1: float, b: float, avgdl: float):
             d = np.concatenate([x[0] for x in bufs])
             t = np.concatenate([x[1] for x in bufs])
             l_ = np.concatenate([x[2] for x in bufs])
+            pf = (
+                np.concatenate([x[3] for x in bufs]) if store_positions else None
+            )
             _emit_term_blocks(
-                cur[0], cur[1], d, t, l_, block_size, k1, b, avgdl, rows
+                cur[0], cur[1], d, t, l_, block_size, k1, b, avgdl, rows,
+                pos_flat=pf,
             )
             bufs.clear()
 
@@ -268,6 +336,13 @@ def _make_block_writer(block_size: int, k1: float, b: float, avgdl: float):
             tfs = batch.column("tf").to_numpy(zero_copy_only=False)
             dls = batch.column("dl").to_numpy(zero_copy_only=False)
             buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+            pvals = poffs = None
+            if store_positions:
+                pcol = batch.column("positions")
+                if isinstance(pcol, pa.ChunkedArray):
+                    pcol = pcol.combine_chunks()
+                poffs = pcol.offsets.to_numpy(zero_copy_only=False)
+                pvals = pcol.values.to_numpy(zero_copy_only=False)
             nrows = codes.size
             # run boundary on (bucket, term): in the doc-partitioned layout
             # the same term appears under several buckets within one task
@@ -281,7 +356,10 @@ def _make_block_writer(block_size: int, k1: float, b: float, avgdl: float):
                 if key != cur:
                     flush_term()
                     cur = key
-                bufs.append((docids[i:j], tfs[i:j], dls[i:j]))
+                pf = (
+                    pvals[poffs[i] : poffs[j]] if store_positions else None
+                )
+                bufs.append((docids[i:j], tfs[i:j], dls[i:j], pf))
             if len(rows) >= 4096:
                 yield _rows_to_batch(rows)
                 rows = []
@@ -295,6 +373,7 @@ def _make_block_writer(block_size: int, k1: float, b: float, avgdl: float):
 def build_segments(
     index: InvertedIndex,
     num_partitions: int | None = None,
+    store_positions: bool = False,
 ) -> SegmentIndex:
     """postings → salted repartition → sorted per-partition segment blocks.
 
@@ -302,7 +381,11 @@ def build_segments(
     partitions, so its blocks overlap in docid range. ``merge_segments``
     produces the canonical single-run-per-term form; queries must use the
     merged index (WAND block skipping assumes per-term blocks are
-    docid-ordered and disjoint)."""
+    docid-ordered and disjoint).
+
+    ``store_positions`` requires a ``positions`` array<long> column on the
+    postings (e.g. from positions.positional_postings_full) and encodes it
+    into each block — the -storePositions analog."""
     cfg = index.config
     spark = index.postings.sparkSession
     num_partitions = num_partitions or max(
@@ -328,19 +411,27 @@ def build_segments(
         ).otherwise(F.lit(0)),
     ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
 
+    if store_positions and "positions" not in p.columns:
+        raise ValueError(
+            "store_positions=True needs a 'positions' column on postings "
+            "(build them with positional_postings_full)"
+        )
     parted = p.repartition(num_partitions, "bucket", "term", "salt").sortWithinPartitions(
         "term", "docid"
     )
     blocks = parted.mapInArrow(
-        _make_block_writer(block_size, k1, b, avgdl), BLOCK_SCHEMA_DDL
+        _make_block_writer(block_size, k1, b, avgdl, store_positions),
+        BLOCK_SCHEMA_DDL,
     )
     return SegmentIndex(
-        blocks=blocks, dictionary=index.dictionary, stats=index.stats, config=cfg
+        blocks=blocks, dictionary=index.dictionary, stats=index.stats,
+        config=cfg, has_positions=store_positions,
     )
 
 
 def build_doc_partitioned_segments(
-    index: InvertedIndex, n_parts: int | None = None
+    index: InvertedIndex, n_parts: int | None = None,
+    store_positions: bool = False,
 ) -> SegmentIndex:
     """DOCID-partitioned segment layout — the batch-query twin of the
     term-bucketed layout. 'bucket' = pmod(xxhash64(docid), n_parts): every
@@ -358,16 +449,24 @@ def build_doc_partitioned_segments(
     p = index.postings.withColumn(
         "bucket", F.pmod(F.xxhash64("docid"), F.lit(n_parts)).cast("int")
     )
+    if store_positions and "positions" not in p.columns:
+        raise ValueError(
+            "store_positions=True needs a 'positions' column on postings "
+            "(build them with positional_postings_full)"
+        )
     parted = p.repartition(n_parts, "bucket").sortWithinPartitions(
         "bucket", "term", "docid"
     )
     blocks = parted.mapInArrow(
-        _make_block_writer(cfg.block_size, cfg.k1, cfg.b, index.avgdl_effective),
+        _make_block_writer(
+            cfg.block_size, cfg.k1, cfg.b, index.avgdl_effective,
+            store_positions,
+        ),
         BLOCK_SCHEMA_DDL,
     )
     return SegmentIndex(
         blocks=blocks, dictionary=index.dictionary, stats=index.stats,
-        config=cfg, layout="doc",
+        config=cfg, layout="doc", has_positions=store_positions,
     )
 
 
@@ -390,6 +489,7 @@ def merge_segments(
     k1, b = cfg.k1, cfg.b
     avgdl = seg.avgdl_effective
     block_size = cfg.block_size
+    has_pos = seg.has_positions
 
     def merge_bucket(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         per_term: dict[str, list] = {}
@@ -401,20 +501,35 @@ def merge_segments(
             docs = tbl.column("docs").to_pylist()
             tfs = tbl.column("tfs").to_pylist()
             dls = tbl.column("dls").to_pylist()
+            poss = tbl.column("poss").to_pylist()
             buckets = tbl.column("bucket").to_pylist()
             for i, term in enumerate(terms):
-                per_term.setdefault(term, []).append((firsts[i], docs[i], tfs[i], dls[i]))
+                per_term.setdefault(term, []).append(
+                    (firsts[i], docs[i], tfs[i], dls[i], poss[i])
+                )
                 bucket_of[term] = buckets[i]
         rows: list = []
         for term in sorted(per_term):
-            parts = [decode_block(f, d, t, l_) for f, d, t, l_ in per_term[term]]
+            parts = [
+                decode_block(f, d, t, l_) for f, d, t, l_, _p in per_term[term]
+            ]
             d = np.concatenate([x[0] for x in parts])
             t = np.concatenate([x[1] for x in parts])
             l_ = np.concatenate([x[2] for x in parts])
             order = np.argsort(d, kind="stable")
+            pf = None
+            if has_pos:
+                pflat = np.concatenate(
+                    [
+                        decode_positions(p, parts[i][1])
+                        for i, (_f, _d, _t, _l, p) in enumerate(per_term[term])
+                    ]
+                )
+                pstarts = (np.cumsum(t) - t).astype(np.int64)
+                pf = _gather_segments(pflat, pstarts[order], t[order].astype(np.int64))
             _emit_term_blocks(
                 bucket_of[term], term, d[order], t[order], l_[order],
-                block_size, k1, b, avgdl, rows,
+                block_size, k1, b, avgdl, rows, pos_flat=pf,
             )
             if len(rows) >= 4096:
                 yield _rows_to_batch(rows)
@@ -429,7 +544,8 @@ def merge_segments(
         .mapInArrow(merge_bucket, BLOCK_SCHEMA_DDL)
     )
     return SegmentIndex(
-        blocks=merged, dictionary=seg.dictionary, stats=seg.stats, config=cfg
+        blocks=merged, dictionary=seg.dictionary, stats=seg.stats, config=cfg,
+        has_positions=has_pos,
     )
 
 
@@ -450,6 +566,7 @@ def merge_segments_hierarchical(seg: SegmentIndex, groups: int = 4) -> SegmentIn
         dictionary=seg.dictionary,
         stats=seg.stats,
         config=cfg,
+        has_positions=seg.has_positions,
     )
     partial = merge_segments(
         lvl1_in,
@@ -489,6 +606,7 @@ def save_segments(seg: SegmentIndex, root: str) -> None:
                 "block_size": seg.config.block_size,
                 "term_buckets": seg.config.term_buckets,
                 "layout": getattr(seg, "layout", "term"),
+                "has_positions": seg.has_positions,
             },
             f,
         )
@@ -510,4 +628,5 @@ def load_segments(spark: SparkSession, root: str) -> SegmentIndex:
         stats=CorpusStats(n_docs=meta["n_docs"], avgdl=meta["avgdl"]),
         config=cfg,
         layout=meta.get("layout", "term"),
+        has_positions=meta.get("has_positions", False),
     )
