@@ -403,6 +403,51 @@ def main() -> None:
         wand_topk(s, hot_qs, k=TOPK, use_wand="auto").count()
         timings[f"wand_hot_{name}_layout"] = time.perf_counter() - t
 
+    # --- two-phase shuffle pruning: clustered-rare fixture (a repo-local
+    # identifier + the stopword head). The plan-level prune drops hot-term
+    # blocks outside the rare term's docid cluster BEFORE the qid shuffle —
+    # recorded as block counts (the shuffle-bytes proxy) + wall time.
+    from pyspark.sql import functions as F  # noqa: N812 (local import)
+
+    from flagembedding_spark.operators.wand import candidate_block_plan
+
+    tp_docs = int(os.environ.get("FES_TWOPHASE_DOCS", "100000"))
+    stop_mix = "def self ( ) = { } : if for class return"
+    lo, hi = tp_docs // 2, tp_docs // 2 + 2000
+    docs_tp = spark.range(tp_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(stop_mix),
+            F.when(
+                (F.col("id") >= lo) & (F.col("id") < hi),
+                F.lit(" rare_x rare_x"),
+            ).otherwise(F.lit("")),
+            F.lit(" tok"),
+            (F.col("id") % 97).cast("string"),
+        ).alias("text"),
+    )
+    idx_tp = _build(
+        docs_tp, seg_cfg, content_col="text", docid_long="doc_id", method="sql"
+    )
+    seg_tp = merge_segments(build_segments(idx_tp))
+    seg_tp.blocks = seg_tp.blocks.cache()
+    seg_tp.blocks.count()
+    qs_tp = spark.createDataFrame(
+        [("tp0", "rare_x " + stop_mix), ("tp1", "rare_x if for class")],
+        ["query_id", "query"],
+    )
+    tp_blocks_all = candidate_block_plan(seg_tp, qs_tp, k=TOPK)[0].count()
+    tp_blocks_kept = candidate_block_plan(
+        seg_tp, qs_tp, k=TOPK, two_phase=True
+    )[0].count()
+    wand_topk(seg_tp, qs_tp, k=TOPK, use_wand="auto").count()  # warm
+    t = time.perf_counter()
+    wand_topk(seg_tp, qs_tp, k=TOPK, use_wand="auto").count()
+    timings["wand_twophase_off"] = time.perf_counter() - t
+    t = time.perf_counter()
+    wand_topk(seg_tp, qs_tp, k=TOPK, use_wand="auto", two_phase=True).count()
+    timings["wand_twophase_on"] = time.perf_counter() - t
+
     # --- synthetic-corpus build throughput at full parallelism ---
     t = time.perf_counter()
     t_build, t_query, n_postings, _, _phase = build_and_query_once(
@@ -418,6 +463,8 @@ def main() -> None:
         "synth_docs": n_docs,
         "synth_postings": n_postings,
         "synth_files_per_sec": round(n_docs / t_build, 1),
+        "twophase_blocks_all": tp_blocks_all,
+        "twophase_blocks_kept": tp_blocks_kept,
     }
 
     total = time.perf_counter() - total0

@@ -350,28 +350,143 @@ def _exact_query(qid: str, term_blocks: dict, k: int):
     return _topk_rows(qid, uniq, acc, k)
 
 
-def wand_topk(
+def _two_phase_prune(
+    cand: DataFrame,
+    k1: float,
+    b: float,
+    avgdl: float,
+    k: int,
+    n_part: int,
+    max_ranges_per_query: int = 512,
+) -> DataFrame:
+    """PLAN-LEVEL shuffle pruning (two-phase fetch): drop non-essential
+    terms' blocks BEFORE the per-query repartition, so hot (stopword) terms'
+    block bytes never ride the big shuffle.
+
+    Phase 1 — ONE metadata-only aggregation over the term-pruned block scan
+    (no posting decode, no Python workers): per (qid, term) collect the
+    total upper bound w·max(max_tfn), the k largest block max_tfn values,
+    and up to ``max_ranges_per_query`` block [first, last] ranges. Then
+    driver-side:
+
+    * θ_q = w·(kth-largest block max_tfn) of the strongest-UB term. Valid
+      lower bound of the true kth total: the term's blocks are
+      docid-DISJOINT, so its k best block maxima are achieved by k distinct
+      docs, each with total ≥ its partial ≥ θ_q.
+    * essential split (mirrors _pruned_query step 2): terms ordered by UB
+      ascending — the maximal prefix with UB-sum < θ_q is non-essential; a
+      doc appearing only in those lists scores < θ_q and can't reach top-k.
+    * essential terms' block ranges merge into per-query intervals.
+
+    Phase 2 (the filter): keep every essential block; keep a non-essential
+    block only if its [docid_first, docid_last] overlaps some essential
+    interval of that query. Safe: candidates live in essential posting
+    lists, so any block holding a candidate posting overlaps an essential
+    block's range — dropped blocks contain only postings of docs whose FULL
+    totals are < θ_q ≤ true kth. The downstream kernel therefore returns
+    identical top-k (tested, incl. controls where nothing may be pruned).
+
+    Degrades to the unpruned plan per query when: the strongest term has
+    < k blocks (θ unavailable → genuinely unprunable: ranks below the rare
+    term's df are decided by the hot terms), UBs are homogeneous, or an
+    essential term's ranges exceed the cap. Pays when rare terms are
+    docid-CLUSTERED (one repo's identifier) — scattered rare terms span one
+    giant block range and keep everything, correctly."""
+    spark = cand.sparkSession
+
+    cap = max_ranges_per_query
+    stats = (
+        cand.groupBy("qid", "term")
+        .agg(
+            F.max(F.col("w") * F.col("max_tfn")).alias("ub"),
+            F.count("*").alias("nb"),
+            F.slice(
+                F.reverse(F.array_sort(F.collect_list("max_tfn"))), 1, k
+            ).alias("topmax"),
+            F.element_at(F.collect_list("w"), 1).alias("w"),
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("docid_first", "docid_last"))
+                ),
+                1,
+                cap + 1,
+            ).alias("ranges"),
+        )
+        .collect()
+    )
+    by_q: dict[str, list] = {}
+    for r in stats:
+        by_q.setdefault(r["qid"], []).append(r)
+    ne_pairs: list[tuple[str, str]] = []
+    intervals: list[tuple[str, int, int]] = []
+    for q, ts in by_q.items():
+        if len(ts) <= 1:
+            continue
+        strongest = max(ts, key=lambda r: r["ub"])
+        if strongest["nb"] < k:
+            continue  # θ bound unavailable → unprunable (see docstring)
+        theta = float(strongest["w"]) * float(strongest["topmax"][k - 1])
+        if theta <= 0.0:
+            continue
+        acc = 0.0
+        q_ne: list[str] = []
+        for r in sorted(ts, key=lambda r: r["ub"]):
+            if acc + r["ub"] < theta and r["term"] != strongest["term"]:
+                acc += r["ub"]
+                q_ne.append(r["term"])
+            else:
+                break
+        if not q_ne:
+            continue
+        # merged intervals over the ESSENTIAL terms' block ranges
+        ess = [r for r in ts if r["term"] not in set(q_ne)]
+        if any(r["nb"] > cap for r in ess):
+            continue  # ranges truncated → can't prove safety; ship all
+        rs = sorted(
+            (int(x["docid_first"]), int(x["docid_last"]))
+            for r in ess
+            for x in r["ranges"]
+        )
+        merged: list[list[int]] = []
+        for lo, hi in rs:
+            if merged and lo <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        if len(merged) > cap:
+            continue
+        ne_pairs.extend((q, t) for t in q_ne)
+        intervals.extend((q, m[0], m[1]) for m in merged)
+    if not ne_pairs or not intervals:
+        return cand
+
+    ne_df = spark.createDataFrame(ne_pairs, ["qid", "term"])
+    ness = cand.join(F.broadcast(ne_df), ["qid", "term"], "left_semi")
+    ess_rows = cand.join(F.broadcast(ne_df), ["qid", "term"], "left_anti")
+    iv = spark.createDataFrame(intervals, "qid string, lo long, hi long")
+    kept_ne = ness.alias("bk").join(
+        F.broadcast(iv).alias("rg"),
+        (F.col("bk.qid") == F.col("rg.qid"))
+        & (F.col("bk.docid_first") <= F.col("rg.hi"))
+        & (F.col("bk.docid_last") >= F.col("rg.lo")),
+        "left_semi",
+    )
+    return ess_rows.unionByName(kept_ne.select(*ess_rows.columns))
+
+
+def candidate_block_plan(
     seg: SegmentIndex,
     queries: DataFrame,
     k: int = 10,
-    use_wand: bool | str = True,
     qid_col: str = "query_id",
     query_col: str = "query",
     num_partitions: int | None = None,
-) -> DataFrame:
-    """Top-k BM25 over the merged segment index.
-
-    ``use_wand``: 'auto' (default for True — per-query pick between pruned
-    and exact from the term-UB spread), 'pruned' (vectorized union-bound
-    pruning with candidate rescoring), 'daat' (classic per-pivot block-max
-    WAND), or False/'exact' (decode everything). All modes return identical
-    top-k (tested); 'auto' is the scale default — pruning wins on skewed-idf
-    queries (rare term + stopwords), exact wins when every term's UB is
-    comparable and nothing is prunable.
-
-    ``num_partitions`` bounds the per-query scoring tasks (default: the
-    cluster's parallelism, capped — a 200-partition session default would
-    spin 200 Python workers for a handful of queries)."""
+    two_phase: bool = False,
+):
+    """The pre-shuffle block plan shared by wand_topk (and measurable on its
+    own — bench counts its rows to record shuffle-block reduction):
+    term-IN() pushdown + bucket partition pruning + broadcast qt_idf join
+    [+ the optional two-phase prune] → (cand DF, n_part, doc_layout)."""
     cfg = seg.config
     k1, b = cfg.k1, cfg.b
     avgdl = seg.avgdl_effective
@@ -413,6 +528,48 @@ def wand_topk(
     )
     n_part = num_partitions or min(
         max(spark.sparkContext.defaultParallelism, 4), 64
+    )
+    if two_phase:
+        # plan-level prune BEFORE the big repartition: hot non-essential
+        # terms' blocks that can't intersect any candidate never ride the
+        # shuffle (applies to either layout; identity-tested)
+        cand = _two_phase_prune(cand, k1, b, avgdl, k, n_part)
+    return cand, n_part, doc_layout
+
+
+def wand_topk(
+    seg: SegmentIndex,
+    queries: DataFrame,
+    k: int = 10,
+    use_wand: bool | str = True,
+    qid_col: str = "query_id",
+    query_col: str = "query",
+    num_partitions: int | None = None,
+    two_phase: bool = False,
+) -> DataFrame:
+    """Top-k BM25 over the merged segment index.
+
+    ``use_wand``: 'auto' (default for True — per-query pick between pruned
+    and exact from the term-UB spread), 'pruned' (vectorized union-bound
+    pruning with candidate rescoring), 'daat' (classic per-pivot block-max
+    WAND), or False/'exact' (decode everything). All modes return identical
+    top-k (tested); 'auto' is the scale default — pruning wins on skewed-idf
+    queries (rare term + stopwords), exact wins when every term's UB is
+    comparable and nothing is prunable.
+
+    ``num_partitions`` bounds the per-query scoring tasks (default: the
+    cluster's parallelism, capped — a 200-partition session default would
+    spin 200 Python workers for a handful of queries).
+
+    ``two_phase`` enables the plan-level shuffle prune (_two_phase_prune):
+    identical top-k, fewer block bytes through the big repartition — wins
+    when queries mix rare terms with hot ones."""
+    cfg = seg.config
+    k1, b = cfg.k1, cfg.b
+    avgdl = seg.avgdl_effective
+    spark = queries.sparkSession
+    cand, n_part, doc_layout = candidate_block_plan(
+        seg, queries, k, qid_col, query_col, num_partitions, two_phase
     )
     if doc_layout:
         # doc layout: co-locate by docid bucket — a hot query's blocks spread

@@ -401,3 +401,98 @@ def test_decode_blocks_batch_equivalence():
         *(x[0] for x in [decode_blocks_batch([], [], [], [])]),
         np.empty(0, dtype=np.int64),
     )
+
+
+def _clustered_rare_corpus(spark, n_docs=2000, lo=600, hi=1000):
+    """Hot tokens everywhere; 'rare_x' planted only in docids [lo, hi) —
+    the CLUSTERED-rare shape (one repo's identifier) where two-phase block
+    pruning pays: the essential term's block ranges are narrow, so most hot
+    blocks can't overlap them. 400 planted docs / block_size 64 ≈ 7 blocks —
+    enough for the metadata θ bound (needs ≥ k blocks on the rare term)."""
+    stop = "def self ( ) = { } : if for class return"
+    rows = [
+        (
+            i,
+            stop + (" rare_x rare_x" if lo <= i < hi else "") + f" tok{i % 97}",
+        )
+        for i in range(n_docs)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_two_phase_identity_and_shuffle_reduction(spark):
+    """two_phase=True returns IDENTICAL top-k while shipping strictly fewer
+    blocks through the per-query shuffle on the clustered-rare fixture."""
+    from flagembedding_spark.operators.wand import candidate_block_plan
+
+    corpus = _clustered_rare_corpus(spark)
+    cfg = BM25Config(block_size=64, term_buckets=8)
+    idx = build_index(
+        corpus, cfg, content_col="text", docid_long="doc_id", method="sql"
+    )
+    seg = merge_segments(build_segments(idx))
+    seg.blocks = seg.blocks.cache()
+    qs = spark.createDataFrame(
+        [
+            ("tq0", "rare_x def self ( ) = { } : if for class return"),
+            ("tq_hot", "def return class"),   # nothing prunable — control
+            ("tq_oov", "zz_nope qq_nada"),    # empty — control
+        ],
+        "query_id string, query string",
+    )
+    base = _canon(wand_topk(seg, qs, k=5, use_wand="exact").collect(), 6)
+    two = _canon(
+        wand_topk(seg, qs, k=5, use_wand="auto", two_phase=True).collect(), 6
+    )
+    assert two == base
+    n_all = candidate_block_plan(seg, qs, k=5)[0].count()
+    n_two = candidate_block_plan(seg, qs, k=5, two_phase=True)[0].count()
+    # tq0's hot-term blocks outside the rare cluster must be gone
+    assert n_two < n_all * 0.7, (n_two, n_all)
+
+
+def test_two_phase_identity_on_scattered_needles(spark):
+    """Scattered needles (df < k): θ bootstraps to 0, nothing is provably
+    prunable, and the plan must stay byte-for-byte CORRECT (ranks 4-10 come
+    from stopword-only docs — pruning stopwords here would be a bug)."""
+    from flagembedding_spark.schemas import (
+        distributed_synth_corpus_skewed,
+        skewed_queries,
+    )
+
+    corpus = distributed_synth_corpus_skewed(spark, 3000, partitions=8)
+    cfg = BM25Config(block_size=64, term_buckets=8)
+    idx = build_index(corpus, cfg)
+    seg = merge_segments(build_segments(idx))
+    seg.blocks = seg.blocks.cache()
+    qs = skewed_queries(spark)
+    base = _canon(wand_topk(seg, qs, k=10, use_wand="exact").collect(), 6)
+    two = _canon(
+        wand_topk(seg, qs, k=10, use_wand="auto", two_phase=True).collect(), 6
+    )
+    assert two == base
+
+
+def test_two_phase_identity_small_corpus(index, merged, tiny_queries):
+    """On the homogeneous tiny corpus two-phase may prune nothing — but must
+    stay exactly identical (incl. all-OOV and single-term queries)."""
+    base = _canon(wand_topk(merged, tiny_queries, k=10, use_wand="exact").collect(), 6)
+    two = _canon(
+        wand_topk(merged, tiny_queries, k=10, use_wand="auto", two_phase=True).collect(),
+        6,
+    )
+    assert two == base
+
+
+def test_two_phase_identity_doc_layout(index, tiny_queries):
+    from flagembedding_spark.operators.segments import (
+        build_doc_partitioned_segments,
+    )
+
+    dseg = build_doc_partitioned_segments(index, n_parts=4)
+    base = _canon(wand_topk(dseg, tiny_queries, k=10, use_wand="exact").collect(), 6)
+    two = _canon(
+        wand_topk(dseg, tiny_queries, k=10, use_wand="auto", two_phase=True).collect(),
+        6,
+    )
+    assert two == base
