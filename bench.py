@@ -403,6 +403,30 @@ def main() -> None:
         wand_topk(s, hot_qs, k=TOPK, use_wand="auto").count()
         timings[f"wand_hot_{name}_layout"] = time.perf_counter() - t
 
+    # --- serving reader on HEAD queries (stopword-laden, decode-bound):
+    # single-thread vs thread-pool exact kernel over the skewed store
+    _hot_root = _tempfile.mkdtemp(
+        prefix="fes_serve_hot_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    try:
+        save_segments(seg_sk, _hot_root)
+        hot_q = "def self ( ) = { } : if for class return"
+        for label, nthreads in (("_1t", 1), ("", None)):
+            rd = SegmentReader(_hot_root, n_threads=nthreads)
+            rd.topk(hot_q, k=TOPK)  # warm footers + page cache
+            lat = []
+            for _ in range(7):
+                t = time.perf_counter()
+                rd.topk(hot_q, k=TOPK)
+                lat.append(time.perf_counter() - t)
+            lat.sort()
+            timings[f"serve_hot_query_p95{label}"] = lat[
+                min(len(lat) - 1, int(round(0.95 * len(lat))))
+            ]
+    finally:
+        _shutil.rmtree(_hot_root, ignore_errors=True)
+
     # --- two-phase shuffle pruning: clustered-rare fixture (a repo-local
     # identifier + the stopword head). The plan-level prune drops hot-term
     # blocks outside the rare term's docid cluster BEFORE the qid shuffle —

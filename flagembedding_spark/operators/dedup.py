@@ -20,6 +20,8 @@ the bucket key and are salt-able exactly like index terms.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -29,6 +31,14 @@ from flagembedding_spark.functions.hashing import (
     minhash_params,
 )
 from flagembedding_spark.functions.tokenize import whitespace_tokens
+
+
+def _auto_cap(n_docs: int, floor: int = 64) -> int:
+    """Default hot-key cap = max(floor, ⌈√N⌉): a bucket (or shingle) of m
+    members emits ~m² candidate pairs, so capping m at √N bounds any single
+    key's pair count by N — the whole job stays O(N·caps) instead of
+    quadratic in the hottest key. The floor keeps small corpora exact."""
+    return max(floor, math.isqrt(max(n_docs, 0)) + 1)
 
 
 def exact_dedup(
@@ -77,7 +87,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | str | None = "auto",
 ) -> DataFrame:
     """Exact Jaccard over shingle sets, candidate-restricted to pairs sharing
     ≥1 shingle (the shingle bucket join). → (id_a, id_b, jaccard) with
@@ -90,9 +100,15 @@ def ngram_jaccard_pairs(
     (they carry no discriminative signal — the stop-token pragmatics of the
     index build), while the Jaccard verification still runs over the FULL
     shingle sets, so any surviving pair's score is exact. Pairs that share
-    ONLY above-cap shingles are not emitted (documented recall trade)."""
+    ONLY above-cap shingles are not emitted (documented recall trade).
+
+    Default 'auto' = max(64, ⌈√N⌉) from a one-job count pre-pass (like the
+    index build's df-driven salting) — scale-safe without expert arguments;
+    pass None to disable, an int to pin."""
     sh = token_shingles(df, n, text_col, id_col).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    if max_shingle_df == "auto":
+        max_shingle_df = _auto_cap(df.select(id_col).count())
     if max_shingle_df is None:
         inter = (
             sh.alias("x")
@@ -168,7 +184,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     n_perms: int = 16,
     bands: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """Band the signature (rows = n_perms/bands), bucket-join on
     (band, band_key) → candidate pairs (id_a < id_b). Collision probability
@@ -181,7 +197,13 @@ def lsh_candidate_pairs(
     becomes linear in m and the duplicate CLUSTER stays connected through
     the root, which is what dedup consumers (connected components / keep-one)
     need; only non-root×non-root pairs inside oversized buckets are skipped.
-    Buckets at or under the cap are unchanged."""
+    Buckets at or under the cap are unchanged.
+
+    Default 'auto' = max(64, ⌈√N⌉) from a one-job distinct-id count — hot
+    boilerplate buckets are linearized without expert arguments; None
+    disables, an int pins."""
+    if max_bucket == "auto":
+        max_bucket = _auto_cap(signatures.select("id").distinct().count())
     rows = n_perms // bands
     banded = signatures.withColumn("band", (F.col("perm") / rows).cast("int"))
     keys = banded.groupBy("id", "band").agg(
@@ -226,12 +248,16 @@ def minhash_dedup(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket: int | None = None,
+    max_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band buckets →
     candidate pairs → EXACT Jaccard verification (no false positives).
     → (id_a, id_b, jaccard ≥ threshold). ``max_bucket`` caps hot band
-    buckets via star candidates (see lsh_candidate_pairs)."""
+    buckets via star candidates (see lsh_candidate_pairs); the default
+    'auto' computes the cap from the corpus count so ``minhash_dedup(df)``
+    is scale-safe with no expert arguments."""
+    if max_bucket == "auto":
+        max_bucket = _auto_cap(df.select(id_col).count())
     sig = minhash_signatures(df, n_perms, n, text_col, id_col)
     cand = lsh_candidate_pairs(sig, n_perms, bands, max_bucket)
     sh = token_shingles(df, n, text_col, id_col)

@@ -21,23 +21,65 @@ a Lucene term-dictionary probe. Results are rank-identical to wand_topk
 from __future__ import annotations
 
 import json
+import os
 from collections import Counter
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pyarrow.dataset as ds
 
+from flagembedding_spark.operators.segments import decode_blocks_batch
 from flagembedding_spark.operators.wand import (
     _auto_query,
     _exact_query,
     _pruned_query,
+    _topk_rows,
 )
+
+
+def _exact_query_mt(qid, term_blocks, k, pool, chunk=512):
+    """Thread-parallel twin of wand._exact_query for HEAD (stopword-laden)
+    queries: per-(term, block-chunk) decode+score jobs fan out over the
+    pool (varint decode is numpy — the GIL is released in the hot loops),
+    then ONE ordered concatenation + accumulation. Chunks are concatenated
+    in submission order, so the float addition sequence — and therefore
+    every score bit — is identical to the single-threaded path."""
+    jobs = []
+    for weight, _firsts, _lasts, _ubs, blocks in term_blocks.values():
+        for s in range(0, len(blocks), chunk):
+            jobs.append((weight, blocks[s : s + chunk]))
+    if not jobs:
+        return []
+
+    def work(job):
+        w, blks = job
+        k1, b, avgdl = blks[0][4], blks[0][5], blks[0][6]
+        d, t, l_ = decode_blocks_batch(
+            [x[0] for x in blks], [x[1] for x in blks],
+            [x[2] for x in blks], [x[3] for x in blks],
+        )
+        tf = t.astype(np.float64)
+        dl = l_.astype(np.float64)
+        return d, w * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    parts = list(pool.map(work, jobs))
+    d = np.concatenate([p[0] for p in parts])
+    s = np.concatenate([p[1] for p in parts])
+    uniq, inv = np.unique(d, return_inverse=True)
+    acc = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(acc, inv, s)
+    return _topk_rows(qid, uniq, acc, k)
 
 
 class SegmentReader:
     """Holds dataset handles + corpus stats; one instance serves many
-    queries (the handles cache parquet footers — the 'index open' cost)."""
+    queries (the handles cache parquet footers — the 'index open' cost).
 
-    def __init__(self, root: str):
+    ``n_threads`` > 1 (default: min(8, cpus)) serves hot queries with the
+    thread-parallel exact kernel — rank-identical, ~#cores faster on
+    stopword-heavy queries whose decode volume dominates."""
+
+    def __init__(self, root: str, n_threads: int | None = None):
         with open(f"{root}/meta.json") as f:
             self.meta = json.load(f)
         if self.meta.get("layout", "term") != "term":
@@ -53,6 +95,12 @@ class SegmentReader:
         self.dictionary = ds.dataset(f"{root}/dictionary", format="parquet")
         self.blocks = ds.dataset(
             f"{root}/blocks", format="parquet", partitioning="hive"
+        )
+        self.n_threads = (
+            n_threads if n_threads is not None else min(8, os.cpu_count() or 1)
+        )
+        self._pool = (
+            ThreadPoolExecutor(self.n_threads) if self.n_threads > 1 else None
         )
 
     def lookup_terms(self, terms: list[str]):
@@ -118,5 +166,23 @@ class SegmentReader:
             )
             for t, e in term_blocks.items()
         }
+        if self._pool is not None and mode in ("auto", "exact"):
+            # same per-query pick as wand._auto_query (UB spread), but the
+            # exact branch — the head-query hot path — goes multi-threaded
+            use_exact = mode == "exact" or len(packed) <= 1
+            if not use_exact:
+                ubs = [
+                    (float(e[3].max()) if len(e[3]) else 0.0) * e[0]
+                    for e in packed.values()
+                ]
+                use_exact = min(ubs) >= 0.5 * max(ubs)
+            if use_exact:
+                return [
+                    (d, s, r)
+                    for _, d, s, r in _exact_query_mt("q", packed, k, self._pool)
+                ]
+            return [
+                (d, s, r) for _, d, s, r in _pruned_query("q", packed, k)
+            ]
         fn = {"auto": _auto_query, "pruned": _pruned_query, "exact": _exact_query}[mode]
         return [(d, s, r) for _, d, s, r in fn("q", packed, k)]

@@ -219,3 +219,60 @@ def test_embedding_neardup_lsh_matches_exact(spark):
                                    method="lsh").collect()}
     assert lsh == exact
     assert len(exact) > 0
+
+
+def test_default_guards_engage_on_hot_bucket(spark):
+    """minhash_dedup(df) with NO expert args must auto-cap a hot band bucket
+    (> ⌈√N⌉ floor-64 identical docs): pipeline finishes with candidates
+    linear in the bucket, the duplicate cluster stays connected through its
+    root, and surviving jaccard scores are exact."""
+    from flagembedding_spark.operators.dedup import (
+        _auto_cap,
+        lsh_candidate_pairs,
+        minhash_dedup,
+        minhash_signatures,
+    )
+
+    hot = [(i, "license header boilerplate preamble common tokens here") for i in range(80)]
+    rest = [(100 + i, f"unique doc {i} alpha beta gamma delta_{i} epsilon zeta") for i in range(20)]
+    df = spark.createDataFrame(hot + rest, "doc_id long, text string")
+    cap = _auto_cap(df.count())
+    assert cap == 64 < 80  # the hot bucket exceeds the default cap
+
+    sig = minhash_signatures(df)
+    cand = lsh_candidate_pairs(sig)  # default 'auto'
+    n_cand = cand.count()
+    # star candidates: ~79 per band for the hot bucket, never ~80*79/2
+    assert n_cand < 80 * 79 / 2 / 2, n_cand
+    # the identical-docs cluster is still fully connected via root id 0
+    star = {(r["id_a"], r["id_b"]) for r in cand.collect() if r["id_a"] == 0}
+    assert {b for _, b in star} == set(range(1, 80))
+
+    pairs = minhash_dedup(df, threshold=0.9)  # all defaults
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert all(abs(j - 1.0) < 1e-9 for j in got.values())
+    assert {(0, b) for b in range(1, 80)} <= set(got)
+
+
+def test_default_guard_engages_on_hot_shingle(spark):
+    """ngram_jaccard_pairs(df) default cap drops corpus-wide boilerplate
+    shingles from candidate generation but keeps scores exact."""
+    from flagembedding_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 70 docs sharing ONLY a boilerplate prefix (one hot shingle family),
+    # plus a genuinely near-dup pair sharing discriminative shingles
+    boiler = "spdx license identifier apache two"
+    docs = [
+        (i, f"{boiler} body_{i} tail_{i} end_{i} fin_{i}") for i in range(70)
+    ] + [
+        (200, boiler + " same same same body xx yy zz"),
+        (201, boiler + " same same same body xx yy zq"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(df, threshold=0.5)  # default 'auto' cap
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert (200, 201) in got
+    # exactness: recompute the (200, 201) jaccard brute force
+    a = set(zip(*[docs[-2][1].split()[i:] for i in range(3)]))
+    b = set(zip(*[docs[-1][1].split()[i:] for i in range(3)]))
+    assert abs(got[(200, 201)] - len(a & b) / len(a | b)) < 1e-6

@@ -197,3 +197,46 @@ def test_phrase_requires_positions(pos_index):
     seg = merge_segments(build_segments(pos_index))
     with pytest.raises(ValueError, match="store_positions"):
         phrase_match_segments(seg, [("q", "a b")])
+
+
+# ---------------------------------------------------------------------------
+# threaded serving reader (head queries)
+# ---------------------------------------------------------------------------
+
+def test_threaded_reader_rank_identical(spark, tmp_path):
+    """SegmentReader with a thread pool must return bit-identical results to
+    the single-threaded reader AND to wand_topk, on hot, mixed, rare, and
+    OOV queries."""
+    from flagembedding_spark.operators.index_build import build_index
+    from flagembedding_spark.operators.segments import save_segments
+    from flagembedding_spark.operators.wand import wand_topk
+    from flagembedding_spark.schemas import (
+        distributed_synth_corpus_skewed,
+        skewed_queries,
+    )
+    from flagembedding_spark.serving import SegmentReader
+
+    corpus = distributed_synth_corpus_skewed(spark, 4000, partitions=8)
+    idx = build_index(corpus, CFG)
+    seg = merge_segments(build_segments(idx))
+    root = str(tmp_path / "seg")
+    save_segments(seg, root)
+    r1 = SegmentReader(root, n_threads=1)
+    rmt = SegmentReader(root, n_threads=4)
+    queries = [q for _, q in skewed_queries(spark).collect()] + [
+        "zz_oov_only", "def",
+    ]
+    qdf = spark.createDataFrame(
+        [(f"q{i}", q) for i, q in enumerate(queries)],
+        "query_id string, query string",
+    )
+    wand = {}
+    for r in wand_topk(seg, qdf, k=10, use_wand="auto").collect():
+        wand.setdefault(r["qid"], []).append(
+            (r["rank"], r["docid"], round(r["score"], 9))
+        )
+    for i, q in enumerate(queries):
+        a = [(r, d, round(s, 9)) for d, s, r in r1.topk(q, k=10)]
+        b = [(r, d, round(s, 9)) for d, s, r in rmt.topk(q, k=10)]
+        assert a == b, q
+        assert b == sorted(wand.get(f"q{i}", [])), q
