@@ -1680,3 +1680,95 @@ PIPELINE_ORACLE_SQL.update(
         "event_props_extract": _PROPS_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: deterministic stratified sampling + the end-to-end
+# cleaning pass (dedup keep-list + lang + quality) a training-data ingest
+# runs before export (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATES = {"en": 0.5, "zh": 1.0, "de": 0.25, "fr": 0.25}
+SAMPLE_DEFAULT = 0.1
+SAMPLE_SEED = 7
+# 0.6 sits inside the sf-fixture quality distribution (min 0.436, median
+# 0.629) so the entry proves the threshold actually drops rows
+CLEAN_MIN_QUALITY = 0.6
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.curation import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), SAMPLE_RATES, strata_col="lang",
+        seed=SAMPLE_SEED, default_rate=SAMPLE_DEFAULT,
+    ).select("doc_id", "lang")
+
+
+def _stratified_sample_sql() -> str:
+    from flagembedding_spark.functions.hashing import md5_prefix_long_sql
+
+    u = md5_prefix_long_sql(
+        f"CAST(doc_id AS VARCHAR) || ':{SAMPLE_SEED}'"
+    )
+    cases = " ".join(
+        f"WHEN '{s}' THEN {rate * 1_000_000}" for s, rate in SAMPLE_RATES.items()
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE ({u} % 1000000)
+      < CASE lang {cases} ELSE {SAMPLE_DEFAULT * 1_000_000} END
+"""
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.curation import clean_corpus
+
+    return clean_corpus(_docs(spark, sf_dir), min_quality=CLEAN_MIN_QUALITY)
+
+
+def _corpus_clean_sql() -> str:
+    lang_inner = _lang_id_sql().strip()
+    return f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+),
+langp AS ({lang_inner}),
+tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_tok,
+         count(DISTINCT t) AS n_distinct,
+         count(*) FILTER (t IN ({", ".join(f"'{w}'" for w in STOP_EN)})) AS n_stop
+  FROM tok GROUP BY doc_id
+),
+q AS (
+  SELECT d.doc_id,
+         round((least(greatest((a.n_tok - 5) / 15.0, 0.0), 1.0)
+                + CAST(length(regexp_replace(d.text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+                  / greatest(length(d.text), 1)
+                + least(CAST(a.n_stop AS DOUBLE) / greatest(a.n_tok, 1) * 4.0, 1.0)
+                + CAST(a.n_distinct AS DOUBLE) / greatest(a.n_tok, 1)) / 4.0,
+               6) AS quality
+  FROM documents d JOIN agg a USING (doc_id)
+)
+SELECT k.doc_id AS doc_id, l.lang_pred AS lang_pred, q.quality AS quality
+FROM keep k JOIN langp l USING (doc_id) JOIN q USING (doc_id)
+WHERE q.quality >= {CLEAN_MIN_QUALITY}
+"""
+
+
+PIPELINE_ENTRIES.update(
+    {
+        "stratified_sample": q_stratified_sample,
+        "corpus_clean": q_corpus_clean,
+    }
+)
+PIPELINE_ORACLE_SQL.update(
+    {
+        "stratified_sample": _stratified_sample_sql(),
+        "corpus_clean": _corpus_clean_sql(),
+    }
+)

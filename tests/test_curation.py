@@ -1,0 +1,91 @@
+"""Corpus-curation operators: deterministic stratified sampling and the
+composed cleaning pass (dedup keep-list + lang + quality)."""
+
+import hashlib
+
+from flagembedding_spark.operators.curation import (
+    SAMPLE_RESOLUTION,
+    clean_corpus,
+    stratified_sample,
+)
+
+RATES = {"en": 0.5, "zh": 1.0, "de": 0.0}
+
+
+def _u(doc_id: int, seed: int = 7) -> float:
+    h = int(hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()[:15], 16)
+    return (h % SAMPLE_RESOLUTION) / SAMPLE_RESOLUTION
+
+
+def _fixture(spark):
+    rows = [
+        (i, f"doc {i} with the and of some words here now", ["en", "zh", "de", "fr"][i % 4])
+        for i in range(400)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_stratified_sample_matches_hash_rule(spark):
+    df = _fixture(spark)
+    got = {
+        r["doc_id"] for r in stratified_sample(
+            df, RATES, strata_col="lang", seed=7, default_rate=0.25
+        ).collect()
+    }
+    want = set()
+    for i in range(400):
+        rate = RATES.get(["en", "zh", "de", "fr"][i % 4], 0.25)
+        if _u(i) < rate:
+            want.add(i)
+    assert got == want
+    # semantic anchors: zh fully kept, de fully dropped
+    assert {i for i in range(400) if i % 4 == 1} <= got
+    assert not any(i % 4 == 2 for i in got)
+
+
+def test_stratified_sample_partitioning_invariant(spark):
+    """Same rows kept regardless of input partitioning — the property an
+    RNG-based sample does NOT have."""
+    df = _fixture(spark)
+    a = {r["doc_id"] for r in stratified_sample(df, RATES, "lang").collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(13), RATES, "lang").collect()
+    }
+    assert a == b
+
+
+def test_stratified_sample_rate_is_roughly_honored(spark):
+    df = _fixture(spark)
+    kept = stratified_sample(df, {"en": 0.5}, "lang", default_rate=0.0).count()
+    assert 30 <= kept <= 70  # 100 en docs at rate 0.5
+
+
+def test_clean_corpus_dedups_and_thresholds(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today", "x"),
+        (2, "the quick brown fox jumps over the lazy dog again and again today", "x"),
+        (3, "zz zz zz zz zz zz zz", "x"),  # repetitive, low quality
+        (4, "a different sentence with the usual english words in it for quality", "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {r["doc_id"]: r for r in clean_corpus(df, min_quality=0.5).collect()}
+    assert 1 in out and 4 in out
+    assert 2 not in out  # exact dup of 1 — keep-min-id
+    assert 3 not in out  # below quality threshold
+    assert out[1]["lang_pred"] == "en"
+
+
+def test_clean_corpus_lang_filter(spark):
+    rows = [
+        (1, "the cat and the dog are in the house with all of them", "x"),
+        (2, "el perro y el gato de la casa los que son una y una mas", "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    langs = {
+        r["doc_id"]: r["lang_pred"]
+        for r in clean_corpus(df, min_quality=0.0).collect()
+    }
+    assert langs[1] == "en" and langs[2] == "es"
+    only_en = clean_corpus(df, min_quality=0.0, keep_langs=("en",))
+    assert [r["doc_id"] for r in only_en.collect()] == [1]
