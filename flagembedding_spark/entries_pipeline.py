@@ -1772,3 +1772,57 @@ PIPELINE_ORACLE_SQL.update(
         "corpus_clean": _corpus_clean_sql(),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# proximity (sloppy) matching over positional postings — the 'terms within W
+# tokens' query answered from the same positional lists as phrase_match
+# ---------------------------------------------------------------------------
+
+PROX_PROBES: list[tuple[str, str, str, int]] = [
+    ("x1", "hash", "join", 3),
+    ("x2", "table", "value", 2),
+    ("x3", "spark", "row", 5),
+    ("x4", "table", "table", 4),       # same-term unordered pairs
+    ("x5", "zz_nope", "table", 3),     # absent term — empty is valid
+]
+
+
+def q_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.positions import (
+        positional_postings,
+        proximity_match_batch,
+    )
+
+    pos = positional_postings(_docs(spark, sf_dir))
+    return proximity_match_batch(pos, PROX_PROBES)
+
+
+def _proximity_sql() -> str:
+    blocks = []
+    for qid, a, b, w in PROX_PROBES:
+        cond = (
+            f"b.pos > a.pos AND b.pos - a.pos <= {w}"
+            if a == b
+            else f"abs(a.pos - b.pos) <= {w}"
+        )
+        blocks.append(f"""
+SELECT '{qid}' AS qid, a.doc_id AS docid, count(*) AS n_pairs
+FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND b.term = '{b}' AND {cond}
+WHERE a.term = '{a}'
+GROUP BY 1, 2
+""")
+    body = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+idx AS (SELECT unnest(generate_series(1, {MAX_TOKENS_BOUND})) AS i),
+tp AS (
+  SELECT doc_id, toks[i] AS term, i - 1 AS pos
+  FROM tt JOIN idx ON idx.i <= len(toks)
+)
+{body}
+"""
+
+
+PIPELINE_ENTRIES["proximity_match"] = q_proximity_match
+PIPELINE_ORACLE_SQL["proximity_match"] = _proximity_sql()

@@ -244,6 +244,73 @@ def phrase_occurrences(
     return out
 
 
+def proximity_occurrences(
+    positional: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int,
+    qid: str | None = None,
+) -> DataFrame:
+    """Unordered proximity match: docs where ``term_a`` and ``term_b``
+    co-occur within ``window`` tokens → (docid, n_pairs) counting every
+    (pos_a, pos_b) pair with |pos_a − pos_b| ≤ window (the sloppy-phrase /
+    'terms near each other' query Lucene answers from its positions; ours
+    reads the same positional lists). JVM higher-order functions only —
+    O(tf_a·tf_b) per doc, no Python. Identical terms count unordered
+    distinct pairs (a<b)."""
+    same = term_a == term_b
+    a = positional.filter(F.col("term") == term_a).select(
+        "docid", F.col("positions").alias("pa")
+    )
+    if same:
+        joined = a.withColumn("pb", F.col("pa"))
+    else:
+        b = positional.filter(F.col("term") == term_b).select(
+            "docid", F.col("positions").alias("pb")
+        )
+        joined = a.join(b, "docid")
+    w = F.lit(window)
+    if same:
+        count = F.aggregate(
+            "pa",
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + F.size(F.filter("pb", lambda q: (q > p) & (q - p <= w))),
+        )
+    else:
+        count = F.aggregate(
+            "pa",
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + F.size(
+                F.filter("pb", lambda q: F.abs(q - p) <= w)
+            ),
+        )
+    out = (
+        joined.withColumn("n_pairs", count.cast("long"))
+        .filter(F.col("n_pairs") > 0)
+        .select("docid", "n_pairs")
+    )
+    if qid is not None:
+        out = out.select(F.lit(qid).alias("qid"), "docid", "n_pairs")
+    return out
+
+
+def proximity_match_batch(
+    positional: DataFrame, probes: list[tuple[str, str, str, int]]
+) -> DataFrame:
+    """Union of proximity_occurrences over (qid, term_a, term_b, window)
+    probes → (qid, docid, n_pairs)."""
+    outs = [
+        proximity_occurrences(positional, a, b, w, qid)
+        for qid, a, b, w in probes
+    ]
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 def phrase_match_batch(
     positional: DataFrame, phrases: list[tuple[str, str]]
 ) -> DataFrame:

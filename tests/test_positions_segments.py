@@ -240,3 +240,39 @@ def test_threaded_reader_rank_identical(spark, tmp_path):
         b = [(r, d, round(s, 9)) for d, s, r in rmt.topk(q, k=10)]
         assert a == b, q
         assert b == sorted(wand.get(f"q{i}", [])), q
+
+
+# ---------------------------------------------------------------------------
+# proximity matching
+# ---------------------------------------------------------------------------
+
+def test_proximity_hand_checked(spark):
+    from flagembedding_spark.operators.positions import (
+        positional_postings,
+        proximity_match_batch,
+    )
+
+    rows = [
+        (0, "a x x b a b"),       # a@{0,4}, b@{3,5}
+        (1, "a x x x x b"),       # distance 5
+        (2, "c c x c"),           # same-term: pairs (0,1),(0,3),(1,3)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = positional_postings(docs)
+    probes = [
+        ("w3", "a", "b", 3),      # doc0: |0-3|, |4-3|, |4-5| → 3 pairs
+        ("w5", "a", "b", 5),      # doc0: +|0-5|... pairs: 4; doc1: 1
+        ("cc", "c", "c", 3),      # doc2: (0,1),(0,3),(1,3) → 3
+        ("cc1", "c", "c", 1),     # doc2: (0,1) only
+    ]
+    got = {
+        (r["qid"], r["docid"]): r["n_pairs"]
+        for r in proximity_match_batch(pos, probes).collect()
+    }
+    assert got == {
+        ("w3", 0): 3,
+        ("w5", 0): 4,
+        ("w5", 1): 1,
+        ("cc", 2): 3,
+        ("cc1", 2): 1,
+    }
