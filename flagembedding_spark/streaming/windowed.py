@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -124,6 +125,112 @@ def start_streaming_dedup(
     )
     writer = (
         deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# stateful streaming sessionization — the streaming twin of
+# operators/events.sessionize (gap-based sessions per user)
+# ---------------------------------------------------------------------------
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_id", LongType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("start_s", LongType(), False),
+        StructField("end_s", LongType(), False),
+        StructField("sum_value", DoubleType(), False),
+    ]
+)
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_id", LongType(), False),
+        StructField("start_s", LongType(), False),
+        StructField("last_s", LongType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("sum_value", DoubleType(), False),
+    ]
+)
+
+
+def _make_session_fn(gap_s: int):
+    def session_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        """Per-user fold over (ts, event_id)-ordered events. The OPEN
+        session lives in state; a session is EMITTED the moment an event
+        arrives more than gap_s after it — identical numbering and
+        aggregates to the batch operator for every closed session. Assumes
+        per-user batches arrive in event-time order across micro-batches
+        (the watermarked-ingest contract); the final open session per user
+        is emitted only by a later batch or never (it isn't final)."""
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values(["sec", "event_id"])
+        if state.exists:
+            sid, start_s, last_s, n_ev, sval = state.get
+        else:
+            sid, start_s, last_s, n_ev, sval = 0, None, None, 0, 0.0
+        closed = []
+        for sec, val in zip(pdf["sec"].tolist(), pdf["value"].tolist()):
+            if start_s is None or sec - last_s > gap_s:
+                if start_s is not None:
+                    closed.append((sid, n_ev, start_s, last_s, sval))
+                sid += 1
+                start_s, n_ev, sval = sec, 0, 0.0
+            n_ev += 1
+            sval += val
+            last_s = sec
+        state.update((sid, start_s, last_s, n_ev, sval))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_id": [c[0] for c in closed],
+                    "n_events": [c[1] for c in closed],
+                    "start_s": [c[2] for c in closed],
+                    "end_s": [c[3] for c in closed],
+                    "sum_value": [round(c[4], 6) for c in closed],
+                }
+            )
+
+    return session_fn
+
+
+def start_streaming_sessionize(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint: str,
+    output_path: str,
+    gap_s: int = 1800,
+    available_now: bool = True,
+):
+    """JSON-dir event stream → gap-based sessions per user via
+    applyInPandasWithState keyed by user_id (state shards by key exactly
+    like the batch window's partitionBy). Emits CLOSED sessions with the
+    SAME schema/semantics as operators/events.sessionize; the open session
+    stays in state until a later event closes it."""
+    src = spark.readStream.schema(EVENT_SCHEMA).json(input_path)
+    keyed = (
+        src.withColumn("sec", F.unix_timestamp("ts"))
+        .select("user_id", "event_id", "sec", "value")
+        .groupBy("user_id")
+    )
+    sessions = keyed.applyInPandasWithState(
+        _make_session_fn(gap_s),
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        sessions.writeStream.outputMode("append")
         .format("parquet")
         .option("path", output_path)
         .option("checkpointLocation", checkpoint)

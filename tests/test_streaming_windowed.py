@@ -105,3 +105,59 @@ def test_streaming_dedup_keep_first_across_batches(spark, tmproot):
     # each content once, smallest doc_id of its FIRST batch, never re-emitted
     assert got == {(sha["alpha"], 10), (sha["beta"], 11), (sha["gamma"], 14)}
     assert all(r["is_first"] for r in rows)
+
+
+def test_streaming_sessionize_matches_batch_closed_sessions(spark, tmproot):
+    """Stream == batch for every CLOSED session: feed two in-order waves
+    (sessions close both inside a wave and across the wave boundary), then
+    compare to batch sessionize minus each user's final (still-open)
+    session."""
+    from flagembedding_spark.operators.events import sessionize
+    from flagembedding_spark.streaming.windowed import (
+        start_streaming_sessionize,
+    )
+
+    w1 = [
+        (0, "2024-01-01 00:00:00", 1, "c", 1.0),
+        (1, "2024-01-01 00:10:00", 1, "c", 2.0),
+        (2, "2024-01-01 02:00:00", 1, "c", 3.0),   # closes u1 session 1
+        (3, "2024-01-01 00:05:00", 2, "c", 4.0),
+    ]
+    w2 = [
+        (4, "2024-01-01 02:20:00", 1, "c", 5.0),   # continues u1 session 2
+        (5, "2024-01-01 05:00:00", 1, "c", 6.0),   # closes u1 session 2
+        (6, "2024-01-01 03:00:00", 2, "c", 7.0),   # closes u2 session 1
+        (7, "2024-01-01 03:10:00", 3, "c", 8.0),   # u3: single open session
+    ]
+    inp, ck, out = f"{tmproot}/sin", f"{tmproot}/sck", f"{tmproot}/sout"
+    _write_events(inp, "w1", w1)
+    q = start_streaming_sessionize(spark, inp, ck, out)
+    q.awaitTermination(120)
+    _write_events(inp, "w2", w2)
+    q = start_streaming_sessionize(spark, inp, ck, out)
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"], r["start_s"], r["end_s"], r["sum_value"]
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+
+    all_events = spark.createDataFrame(
+        [(e, ts, u, t, v) for e, ts, u, t, v in w1 + w2],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch = sessionize(all_events, gap_s=1800).collect()
+    last = {}
+    for r in batch:
+        last[r["user_id"]] = max(last.get(r["user_id"], 0), r["session_id"])
+    want = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"], r["start_s"], r["end_s"], r["sum_value"]
+        )
+        for r in batch
+        if r["session_id"] < last[r["user_id"]]
+    }
+    assert got == want
+    assert len(got) == 3  # u1 ×2 closed, u2 ×1 closed, u3 none
