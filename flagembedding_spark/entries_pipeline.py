@@ -1826,3 +1826,28 @@ tp AS (
 
 PIPELINE_ENTRIES["proximity_match"] = q_proximity_match
 PIPELINE_ORACLE_SQL["proximity_match"] = _proximity_sql()
+
+
+def q_proximity_match_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same probes and ORACLE as proximity_match, answered from the
+    compressed store's position streams (Lucene sloppy-phrase-from-index
+    shape)."""
+    from flagembedding_spark.operators.index_build import index_from_postings
+    from flagembedding_spark.operators.positions import (
+        positional_postings_full,
+        proximity_match_segments,
+    )
+    from flagembedding_spark.operators.segments import (
+        build_segments,
+        merge_segments,
+    )
+
+    pos = positional_postings_full(_docs(spark, sf_dir))
+    seg = merge_segments(
+        build_segments(index_from_postings(pos), store_positions=True)
+    )
+    return proximity_match_segments(seg, PROX_PROBES)
+
+
+PIPELINE_ENTRIES["proximity_match_segments"] = q_proximity_match_segments
+PIPELINE_ORACLE_SQL["proximity_match_segments"] = _proximity_sql()

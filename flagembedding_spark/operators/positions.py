@@ -244,6 +244,149 @@ def phrase_occurrences(
     return out
 
 
+def proximity_match_segments(
+    seg,
+    probes: list[tuple[str, str, str, int]],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Proximity matching THROUGH the compressed segment store (Lucene's
+    sloppy-phrase-from-index shape): (qid, term_a, term_b, window) probes →
+    (qid, docid, n_pairs), identical semantics to proximity_match_batch.
+    Same plan as phrase_match_segments: term-IN pushdown + bucket pruning +
+    broadcast probe table + per-qid repartition; the kernel counts, for
+    each a-posting, the b-positions inside [pos−w, pos+w] with ONE
+    searchsorted pass over packed (docid·2²² + pos) keys (windows never
+    cross doc boundaries — w ≪ 2²²)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from flagembedding_spark.operators.segments import (
+        decode_blocks_batch,
+        decode_positions,
+    )
+
+    if not seg.has_positions:
+        raise ValueError(
+            "segment index was built without positions "
+            "(store_positions=True required for proximity queries)"
+        )
+    spark = seg.blocks.sparkSession
+    qt_rows = []
+    for qid, a, b, w in probes:
+        if w < 0:
+            raise ValueError(f"negative window for qid {qid!r}")
+        same = int(a == b)
+        qt_rows.append((qid, 0, same, w, a))
+        if not same:
+            qt_rows.append((qid, 1, same, w, b))
+    qt = spark.createDataFrame(
+        qt_rows, "qid string, role int, same int, w int, term string"
+    )
+    all_terms = sorted({r[4] for r in qt_rows})
+    blocks = seg.blocks.filter(F.col("term").isin(all_terms))
+    if getattr(seg, "layout", "term") == "term" and "bucket" in blocks.columns:
+        buckets = sorted(
+            {
+                r["b"]
+                for r in spark.createDataFrame([(t,) for t in all_terms], ["term"])
+                .select(
+                    F.pmod(F.xxhash64("term"), F.lit(seg.config.term_buckets))
+                    .cast("int")
+                    .alias("b")
+                )
+                .collect()
+            }
+        )
+        blocks = blocks.filter(F.col("bucket").isin(buckets))
+    cand = blocks.join(F.broadcast(qt), "term")
+    n_part = num_partitions or min(
+        max(spark.sparkContext.defaultParallelism, 4), 64
+    )
+    cand = cand.repartition(n_part, "qid")
+
+    out_pa = pa.schema(
+        [
+            pa.field("qid", pa.string()),
+            pa.field("docid", pa.int64()),
+            pa.field("n_pairs", pa.int64()),
+        ]
+    )
+
+    def match_partition(batches):
+        per: dict[str, dict[int, list]] = {}
+        meta: dict[str, tuple[int, int]] = {}  # qid -> (same, w)
+        for batch in batches:
+            qids = batch.column("qid").to_pylist()
+            roles = batch.column("role").to_pylist()
+            sames = batch.column("same").to_pylist()
+            ws = batch.column("w").to_pylist()
+            firsts = batch.column("docid_first").to_pylist()
+            docs = batch.column("docs").to_pylist()
+            tfs = batch.column("tfs").to_pylist()
+            dls = batch.column("dls").to_pylist()
+            poss = batch.column("poss").to_pylist()
+            for i, q in enumerate(qids):
+                meta[q] = (sames[i], ws[i])
+                per.setdefault(q, {}).setdefault(roles[i], []).append(
+                    (firsts[i], docs[i], tfs[i], dls[i], poss[i])
+                )
+        o_q, o_d, o_n = [], [], []
+        for q, groups in per.items():
+            same, w = meta[q]
+            need = {0} if same else {0, 1}
+            if set(groups) < need:
+                continue  # one side's term absent → no pairs
+
+            def keyed(role):
+                g = groups[role]
+                d, t, _l = decode_blocks_batch(
+                    [x[0] for x in g], [x[1] for x in g],
+                    [x[2] for x in g], [x[3] for x in g],
+                )
+                pflat = decode_positions(b"".join(x[4] for x in g), t)
+                doc_rep = np.repeat(d, t)
+                k = doc_rep * _POS_KEY + pflat
+                order = np.argsort(k, kind="stable")
+                return k[order], doc_rep[order]
+
+            ka, da = keyed(0)
+            kb, _db = keyed(0 if same else 1)
+            base = da * _POS_KEY
+            # clamp the window at the doc's own key range: pos−w of an
+            # early position must not dip into the previous doc's keys
+            # (pos+w can't reach the next doc: positions ≪ 2²² − w)
+            if same:
+                lo = np.searchsorted(kb, ka + 1, side="left")
+                hi = np.searchsorted(kb, ka + w, side="right")
+            else:
+                lo = np.searchsorted(
+                    kb, np.maximum(ka - w, base), side="left"
+                )
+                hi = np.searchsorted(kb, ka + w, side="right")
+            n_i = hi - lo
+            keep = n_i > 0
+            if not keep.any():
+                continue
+            ud, inv = np.unique(da[keep], return_inverse=True)
+            totals = np.bincount(inv, weights=n_i[keep]).astype(np.int64)
+            o_q.extend([q] * ud.size)
+            o_d.extend(int(x) for x in ud)
+            o_n.extend(int(x) for x in totals)
+        if o_q:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_q, pa.string()),
+                    pa.array(o_d, pa.int64()),
+                    pa.array(o_n, pa.int64()),
+                ],
+                schema=out_pa,
+            )
+
+    return cand.select(
+        "qid", "role", "same", "w", "docid_first", "docs", "tfs", "dls", "poss"
+    ).mapInArrow(match_partition, "qid string, docid long, n_pairs long")
+
+
 def proximity_occurrences(
     positional: DataFrame,
     term_a: str,

@@ -276,3 +276,69 @@ def test_proximity_hand_checked(spark):
         ("cc", 2): 3,
         ("cc1", 2): 1,
     }
+
+
+def test_proximity_store_matches_dataframe(spark, docs, pos_seg):
+    from flagembedding_spark.operators.positions import (
+        positional_postings,
+        proximity_match_batch,
+        proximity_match_segments,
+    )
+
+    probes = [
+        ("p1", "def", "return", 3),
+        ("p2", "self", "(", 1),
+        ("p3", "def", "def", 5),          # same-term
+        ("p4", "zz_nope", "def", 4),      # absent side
+    ]
+    got = sorted(
+        map(tuple, proximity_match_segments(pos_seg, probes).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            proximity_match_batch(positional_postings(docs), probes).collect(),
+        )
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_proximity_store_window_edge_cases(spark):
+    """Positions near 0 (window clamps at the doc key base) and w=0."""
+    from flagembedding_spark.operators.index_build import index_from_postings
+    from flagembedding_spark.operators.positions import (
+        positional_postings,
+        positional_postings_full,
+        proximity_match_batch,
+        proximity_match_segments,
+    )
+    from flagembedding_spark.operators.segments import (
+        build_segments,
+        merge_segments,
+    )
+
+    rows = [
+        (0, "b a x x x"),   # b@0, a@1 — pos−w underflows doc base
+        (1, "a b"),
+        (2, "x a x b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    seg = merge_segments(
+        build_segments(
+            index_from_postings(positional_postings_full(docs)),
+            store_positions=True,
+        )
+    )
+    probes = [("e1", "a", "b", 1), ("e2", "a", "b", 0), ("e3", "a", "b", 2)]
+    got = sorted(map(tuple, proximity_match_segments(seg, probes).collect()))
+    want = sorted(
+        map(
+            tuple,
+            proximity_match_batch(positional_postings(docs), probes).collect(),
+        )
+    )
+    assert got == want
+    as_map = {(q, d): n for q, d, n in got}
+    assert as_map[("e1", 0)] == 1 and as_map[("e1", 1)] == 1
+    assert ("e2", 0) not in as_map  # w=0 can never match distinct terms
