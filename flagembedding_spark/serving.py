@@ -186,3 +186,109 @@ class SegmentReader:
             ]
         fn = {"auto": _auto_query, "pruned": _pruned_query, "exact": _exact_query}[mode]
         return [(d, s, r) for _, d, s, r in fn("q", packed, k)]
+
+    # -- positional point queries (store must be built with positions) ----
+
+    def _term_positions(self, terms: list[str]):
+        """→ {term: (docids repeated per posting, flat positions)} decoded
+        from the poss streams of the given terms' blocks."""
+        from flagembedding_spark.operators.segments import (
+            decode_blocks_batch,
+            decode_positions,
+        )
+
+        info = self.lookup_terms(terms)
+        if not info:
+            return {}
+        buckets = sorted({b for _, b in info.values()})
+        tbl = self.blocks.to_table(
+            columns=["term", "docid_first", "docs", "tfs", "dls", "poss"],
+            filter=(
+                ds.field("bucket").isin(buckets)
+                & ds.field("term").isin(list(info))
+            ),
+        )
+        per: dict[str, list] = {}
+        for t, f, d, tf, dl, p in zip(
+            tbl.column("term").to_pylist(),
+            tbl.column("docid_first").to_pylist(),
+            tbl.column("docs").to_pylist(),
+            tbl.column("tfs").to_pylist(),
+            tbl.column("dls").to_pylist(),
+            tbl.column("poss").to_pylist(),
+        ):
+            per.setdefault(t, []).append((f, d, tf, dl, p))
+        out = {}
+        for t, blks in per.items():
+            d, tf, _l = decode_blocks_batch(
+                [x[0] for x in blks], [x[1] for x in blks],
+                [x[2] for x in blks], [x[3] for x in blks],
+            )
+            pflat = decode_positions(b"".join(x[4] for x in blks), tf)
+            out[t] = (np.repeat(d, tf), pflat)
+        return out
+
+    def _require_positions(self):
+        if not self.meta.get("has_positions", False):
+            raise ValueError(
+                "store was built without positions "
+                "(save a store from build_segments(..., store_positions=True))"
+            )
+
+    def phrase(self, phrase: str, limit: int | None = None):
+        """Exact adjacent-phrase point query, Spark-free → [(docid, n_occ)]
+        docid-ascending — same semantics as phrase_match_segments (the
+        Spark batch path), same packed-key intersection kernel shape."""
+        self._require_positions()
+        from flagembedding_spark.operators.positions import _POS_KEY
+
+        terms = phrase.split(" ")
+        tp = self._term_positions(sorted(set(terms)))
+        keys = None
+        for i, t in enumerate(terms):
+            if t not in tp:
+                return []
+            doc_rep, pflat = tp[t]
+            m = pflat >= i
+            k = doc_rep[m] * _POS_KEY + (pflat[m] - i)
+            keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+            if keys.size == 0:
+                return []
+        ud, counts = np.unique(keys // _POS_KEY, return_counts=True)
+        out = [(int(d), int(c)) for d, c in zip(ud, counts)]
+        return out[:limit] if limit else out
+
+    def proximity(self, term_a: str, term_b: str, window: int,
+                  limit: int | None = None):
+        """Terms-within-window point query, Spark-free → [(docid, n_pairs)]
+        docid-ascending — same semantics as proximity_match_segments."""
+        self._require_positions()
+        from flagembedding_spark.operators.positions import _POS_KEY
+
+        same = term_a == term_b
+        tp = self._term_positions(sorted({term_a, term_b}))
+        if term_a not in tp or term_b not in tp:
+            return []
+        da, pa = tp[term_a]
+        db, pb = tp[term_b]
+        ka = da * _POS_KEY + pa
+        kb = db * _POS_KEY + pb
+        oa = np.argsort(ka, kind="stable")
+        ka, da = ka[oa], da[oa]
+        kb = np.sort(kb)
+        if same:
+            lo = np.searchsorted(kb, ka + 1, side="left")
+            hi = np.searchsorted(kb, ka + window, side="right")
+        else:
+            lo = np.searchsorted(
+                kb, np.maximum(ka - window, da * _POS_KEY), side="left"
+            )
+            hi = np.searchsorted(kb, ka + window, side="right")
+        n_i = hi - lo
+        keep = n_i > 0
+        if not keep.any():
+            return []
+        ud, inv = np.unique(da[keep], return_inverse=True)
+        tot = np.bincount(inv, weights=n_i[keep]).astype(np.int64)
+        out = [(int(d), int(c)) for d, c in zip(ud, tot)]
+        return out[:limit] if limit else out

@@ -342,3 +342,55 @@ def test_proximity_store_window_edge_cases(spark):
     as_map = {(q, d): n for q, d, n in got}
     assert as_map[("e1", 0)] == 1 and as_map[("e1", 1)] == 1
     assert ("e2", 0) not in as_map  # w=0 can never match distinct terms
+
+
+def test_serving_phrase_and_proximity_match_spark_path(spark, docs, pos_seg, tmp_path):
+    """Spark-free point phrase/proximity queries from the persisted store ==
+    the Spark batch operators, including guard on a positions-less store."""
+    from flagembedding_spark.operators.positions import (
+        phrase_match_segments,
+        proximity_match_segments,
+    )
+    from flagembedding_spark.operators.segments import save_segments
+    from flagembedding_spark.serving import SegmentReader
+
+    root = str(tmp_path / "posseg")
+    save_segments(pos_seg, root)
+    rd = SegmentReader(root)
+
+    for phrase in ("def return", "self (", "def", "zz_nope def"):
+        got = rd.phrase(phrase)
+        want = sorted(
+            (r["docid"], r["n_occ"])
+            for r in phrase_match_segments(pos_seg, [("q", phrase)]).collect()
+        )
+        assert got == want, phrase
+
+    for a, b, w in (("def", "return", 3), ("def", "def", 5), ("zz_nope", "def", 2)):
+        got = rd.proximity(a, b, w)
+        want = sorted(
+            (r["docid"], r["n_pairs"])
+            for r in proximity_match_segments(
+                pos_seg, [("q", a, b, w)]
+            ).collect()
+        )
+        assert got == want, (a, b, w)
+
+    # a BM25-only store refuses positional queries loudly
+    from flagembedding_spark.operators.segments import (
+        build_segments,
+        merge_segments,
+    )
+    from flagembedding_spark.operators.index_build import index_from_postings
+    from flagembedding_spark.operators.positions import positional_postings_full
+
+    plain = merge_segments(
+        build_segments(index_from_postings(positional_postings_full(docs)))
+    )
+    root2 = str(tmp_path / "plain")
+    save_segments(plain, root2)
+    rd2 = SegmentReader(root2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positions"):
+        rd2.phrase("def return")
