@@ -71,10 +71,11 @@ def positional_postings_full(
     )
 
 
-# positions-per-doc bound for the packed (docid, start) intersection key:
-# key = docid * _POS_KEY + (pos - idx) must fit int64, so docid < 2^41 with
-# 2^22 positions/doc — both far above the lineage docid ceiling (2^40) and
-# any real document length
+# positions-per-doc bound for the packed (doc, start) intersection key.
+# Raw docids do NOT fit: lineage ids are chunk·2^40 + i, and id·2^22
+# overflows int64 — so every kernel first remaps the query's touched docids
+# to DENSE indices (np.unique + searchsorted) and packs those instead;
+# dense-index space is bounded by the query terms' posting count.
 _POS_KEY = 1 << 22
 
 PHRASE_RESULT_DDL = "qid string, docid long, n_occ long"
@@ -173,7 +174,7 @@ def phrase_match_segments(
             m = m_of[q]
             if len(groups) < m:
                 continue  # some phrase position's term is absent entirely
-            keys = None
+            decoded = []
             for idx in range(m):
                 g = groups[idx]
                 d, t, _l = decode_blocks_batch(
@@ -181,9 +182,15 @@ def phrase_match_segments(
                     [x[2] for x in g], [x[3] for x in g],
                 )
                 pflat = decode_positions(b"".join(x[4] for x in g), t)
-                doc_rep = np.repeat(d, t)
+                decoded.append((np.repeat(d, t), pflat))
+            # dense per-query docid remap: raw ids × 2^22 can overflow int64
+            uniq = np.unique(np.concatenate([x[0] for x in decoded]))
+            keys = None
+            for idx in range(m):
+                doc_rep, pflat = decoded[idx]
+                dense = np.searchsorted(uniq, doc_rep)
                 mask = pflat >= idx
-                k = doc_rep[mask] * _POS_KEY + (pflat[mask] - idx)
+                k = dense[mask] * _POS_KEY + (pflat[mask] - idx)
                 keys = (
                     k
                     if keys is None
@@ -195,7 +202,7 @@ def phrase_match_segments(
                 continue
             ud, counts = np.unique(keys // _POS_KEY, return_counts=True)
             o_q.extend([q] * ud.size)
-            o_d.extend(int(x) for x in ud)
+            o_d.extend(int(uniq[x]) for x in ud)
             o_n.extend(int(c) for c in counts)
         if o_q:
             yield pa.RecordBatch.from_arrays(
@@ -337,21 +344,29 @@ def proximity_match_segments(
             if set(groups) < need:
                 continue  # one side's term absent → no pairs
 
-            def keyed(role):
+            def decode_role(role):
                 g = groups[role]
                 d, t, _l = decode_blocks_batch(
                     [x[0] for x in g], [x[1] for x in g],
                     [x[2] for x in g], [x[3] for x in g],
                 )
                 pflat = decode_positions(b"".join(x[4] for x in g), t)
-                doc_rep = np.repeat(d, t)
-                k = doc_rep * _POS_KEY + pflat
-                order = np.argsort(k, kind="stable")
-                return k[order], doc_rep[order]
+                return np.repeat(d, t), pflat
 
-            ka, da = keyed(0)
-            kb, _db = keyed(0 if same else 1)
-            base = da * _POS_KEY
+            da_raw, pos_a = decode_role(0)
+            db_raw, pos_b = decode_role(0 if same else 1)
+            # dense per-query docid remap (raw id × 2^22 overflows int64)
+            uniq = np.unique(np.concatenate([da_raw, db_raw]))
+
+            def keyed(doc_raw, pflat):
+                dense = np.searchsorted(uniq, doc_raw)
+                k = dense * _POS_KEY + pflat
+                order = np.argsort(k, kind="stable")
+                return k[order], dense[order], doc_raw[order]
+
+            ka, dda, da = keyed(da_raw, pos_a)
+            kb, _ddb, _db = keyed(db_raw, pos_b)
+            base = dda * _POS_KEY
             # clamp the window at the doc's own key range: pos−w of an
             # early position must not dip into the previous doc's keys
             # (pos+w can't reach the next doc: positions ≪ 2²² − w)

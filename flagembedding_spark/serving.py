@@ -244,18 +244,21 @@ class SegmentReader:
 
         terms = phrase.split(" ")
         tp = self._term_positions(sorted(set(terms)))
+        if any(t not in tp for t in terms):
+            return []
+        # dense docid remap — raw id × 2^22 overflows int64 on lineage ids
+        uniq = np.unique(np.concatenate([tp[t][0] for t in set(terms)]))
         keys = None
         for i, t in enumerate(terms):
-            if t not in tp:
-                return []
             doc_rep, pflat = tp[t]
+            dense = np.searchsorted(uniq, doc_rep)
             m = pflat >= i
-            k = doc_rep[m] * _POS_KEY + (pflat[m] - i)
+            k = dense[m] * _POS_KEY + (pflat[m] - i)
             keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
             if keys.size == 0:
                 return []
         ud, counts = np.unique(keys // _POS_KEY, return_counts=True)
-        out = [(int(d), int(c)) for d, c in zip(ud, counts)]
+        out = [(int(uniq[d]), int(c)) for d, c in zip(ud, counts)]
         return out[:limit] if limit else out
 
     def proximity(self, term_a: str, term_b: str, window: int,
@@ -269,19 +272,23 @@ class SegmentReader:
         tp = self._term_positions(sorted({term_a, term_b}))
         if term_a not in tp or term_b not in tp:
             return []
-        da, pa = tp[term_a]
-        db, pb = tp[term_b]
-        ka = da * _POS_KEY + pa
-        kb = db * _POS_KEY + pb
+        da_raw, pa = tp[term_a]
+        db_raw, pb = tp[term_b]
+        # dense docid remap — raw id × 2^22 overflows int64 on lineage ids
+        uniq = np.unique(np.concatenate([da_raw, db_raw]))
+        dda = np.searchsorted(uniq, da_raw)
+        ddb = np.searchsorted(uniq, db_raw)
+        ka = dda * _POS_KEY + pa
+        kb = ddb * _POS_KEY + pb
         oa = np.argsort(ka, kind="stable")
-        ka, da = ka[oa], da[oa]
+        ka, da, dda = ka[oa], da_raw[oa], dda[oa]
         kb = np.sort(kb)
         if same:
             lo = np.searchsorted(kb, ka + 1, side="left")
             hi = np.searchsorted(kb, ka + window, side="right")
         else:
             lo = np.searchsorted(
-                kb, np.maximum(ka - window, da * _POS_KEY), side="left"
+                kb, np.maximum(ka - window, dda * _POS_KEY), side="left"
             )
             hi = np.searchsorted(kb, ka + window, side="right")
         n_i = hi - lo

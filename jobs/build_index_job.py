@@ -47,6 +47,9 @@ def main() -> None:
     ap.add_argument("--no-resume", dest="resume", action="store_false")
     ap.add_argument("--build-segments", action="store_true",
                     help="also build + merge the compressed segment index")
+    ap.add_argument("--store-positions", action="store_true",
+                    help="varint-encode term positions into segment blocks "
+                         "(enables phrase/proximity queries from the store)")
     ap.add_argument("--segment-layout", default="term", choices=["term", "doc", "both"],
                     help="term = bucketed-by-term (point lookups / serving.py); "
                          "doc = docid-partitioned (head-query batches); both")
@@ -102,14 +105,45 @@ def main() -> None:
             save_segments,
         )
 
+        seg_index = index
+        if args.store_positions:
+            # positions come from a second tokenize pass keyed back to the
+            # index's docids through docid_str — identical postings, plus
+            # the per-posting position lists the block writer encodes
+            import dataclasses
+
+            from flagembedding_spark.operators.index_build import docid_expr
+            from flagembedding_spark.operators.positions import (
+                positional_postings_full,
+            )
+
+            if cfg.stop_tokens:
+                raise SystemExit(
+                    "--store-positions requires an unfiltered index "
+                    "(stop_tokens change postings vs positions)"
+                )
+            keyed = corpus.withColumn("docid_str", docid_expr()).join(
+                index.doc_stats.select("docid", "docid_str"), "docid_str"
+            )
+            pos = positional_postings_full(
+                keyed, text_col="content", id_col="docid"
+            )
+            seg_index = dataclasses.replace(index, postings=pos)
+
         if args.segment_layout in ("term", "both"):
             t1 = time.perf_counter()
-            seg = merge_segments(build_segments(index))
+            seg = merge_segments(
+                build_segments(
+                    seg_index, store_positions=args.store_positions
+                )
+            )
             save_segments(seg, f"{args.output}/segments")
             report["segments_sec"] = round(time.perf_counter() - t1, 2)
         if args.segment_layout in ("doc", "both"):
             t1 = time.perf_counter()
-            dseg = build_doc_partitioned_segments(index)
+            dseg = build_doc_partitioned_segments(
+                seg_index, store_positions=args.store_positions
+            )
             save_segments(dseg, f"{args.output}/segments_doc")
             report["segments_doc_sec"] = round(time.perf_counter() - t1, 2)
 

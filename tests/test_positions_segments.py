@@ -394,3 +394,60 @@ def test_serving_phrase_and_proximity_match_spark_path(spark, docs, pos_seg, tmp
 
     with _pytest.raises(ValueError, match="positions"):
         rd2.phrase("def return")
+
+
+def test_positional_kernels_with_lineage_scale_docids(spark, tmp_path):
+    """chunk-dense lineage docids (chunk·2^40 + i) overflowed the packed
+    int64 key before the dense remap — phrase/proximity through the store
+    AND the serving reader must return correct raw docids at that scale."""
+    from flagembedding_spark.operators.index_build import index_from_postings
+    from flagembedding_spark.operators.positions import (
+        phrase_match_batch,
+        phrase_match_segments,
+        positional_postings,
+        positional_postings_full,
+        proximity_match_batch,
+        proximity_match_segments,
+    )
+    from flagembedding_spark.operators.segments import (
+        build_segments,
+        merge_segments,
+        save_segments,
+    )
+    from flagembedding_spark.serving import SegmentReader
+
+    base = [(1 << 40) * (2 + i // 3) + i for i in range(9)]
+    rows = [
+        (base[i], "hash join beats sort merge hash join run " + f"t{i}")
+        for i in range(9)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    seg = merge_segments(
+        build_segments(
+            index_from_postings(positional_postings_full(docs)),
+            store_positions=True,
+        )
+    )
+    phrases = [("p", "hash join")]
+    probes = [("x", "hash", "merge", 4), ("y", "hash", "hash", 6)]
+    pos = positional_postings(docs)
+    assert sorted(map(tuple, phrase_match_segments(seg, phrases).collect())) == \
+        sorted(map(tuple, phrase_match_batch(pos, phrases).collect()))
+    assert sorted(map(tuple, proximity_match_segments(seg, probes).collect())) == \
+        sorted(map(tuple, proximity_match_batch(pos, probes).collect()))
+
+    root = str(tmp_path / "bigid")
+    save_segments(seg, root)
+    rd = SegmentReader(root)
+    want = sorted(
+        (r["docid"], r["n_occ"])
+        for r in phrase_match_batch(pos, phrases).collect()
+    )
+    got = rd.phrase("hash join")
+    assert got == want
+    assert all(d > 1 << 40 for d, _ in got)  # raw ids round-trip
+    wantp = sorted(
+        (r["docid"], r["n_pairs"])
+        for r in proximity_match_batch(pos, [("x", "hash", "merge", 4)]).collect()
+    )
+    assert rd.proximity("hash", "merge", 4) == wantp
