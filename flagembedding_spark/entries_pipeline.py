@@ -1851,3 +1851,94 @@ def q_proximity_match_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIPELINE_ENTRIES["proximity_match_segments"] = q_proximity_match_segments
 PIPELINE_ORACLE_SQL["proximity_match_segments"] = _proximity_sql()
+
+
+# ---------------------------------------------------------------------------
+# text cleaning: PII redaction + within-doc repeated-segment removal
+# (operators/curation.py; patterns restricted to the Java-regex ∩ RE2 common
+# subset so the oracle runs the IDENTICAL expressions)
+# ---------------------------------------------------------------------------
+
+PII_FIXTURE: list[tuple[int, str]] = [
+    (0, "contact bob.smith+x@example.co.uk or 10.0.0.1 today"),
+    (1, "card 4111111111111111 and phone 5551234567 leaked"),
+    (2, "mixed a@b.io then 192.168.1.255 then 123456789 end"),
+    (3, "clean text with no sensitive payloads at all"),
+    (4, "short digits 12345678 stay but 999999999 goes"),
+]
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.curation import redact_pii
+
+    df = spark.createDataFrame(PII_FIXTURE, "doc_id long, text string")
+    return redact_pii(df).select("doc_id", "redacted", "n_redactions")
+
+
+def _redact_pii_sql() -> str:
+    from flagembedding_spark.operators.curation import PII_PATTERNS
+
+    vals = ", ".join(f"({i}, {_sql_quote(t)})" for i, t in PII_FIXTURE)
+    red = "text"
+    n_terms = []
+    for j, (pat, repl) in enumerate(PII_PATTERNS):
+        n_terms.append(
+            f"len(regexp_extract_all({red}, {_sql_quote(pat)}))"
+        )
+        red = f"regexp_replace({red}, {_sql_quote(pat)}, {_sql_quote(repl)}, 'g')"
+    return f"""
+WITH f(doc_id, text) AS (VALUES {vals})
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {red} AS redacted,
+       CAST({' + '.join(n_terms)} AS INT) AS n_redactions
+FROM f
+"""
+
+
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repeated-segment removal over the documents table, token
+    separator (the fixture text is single-space segmented)."""
+    from flagembedding_spark.operators.curation import (
+        dedup_segments_within_doc,
+    )
+
+    return dedup_segments_within_doc(
+        _docs(spark, sf_dir), sep=" "
+    ).select("doc_id", "cleaned", "n_dropped")
+
+
+_DEDUP_SEGMENTS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+),
+u AS (
+  SELECT doc_id, part, pos,
+         row_number() OVER (PARTITION BY doc_id, part ORDER BY pos) AS rn
+  FROM (
+    SELECT doc_id, unnest(parts) AS part,
+           generate_subscripts(parts, 1) AS pos
+    FROM t
+  )
+),
+kept AS (
+  SELECT doc_id, string_agg(part, ' ' ORDER BY pos) AS cleaned,
+         count(*) AS n_kept
+  FROM u WHERE rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id AS doc_id, kept.cleaned AS cleaned,
+       CAST(len(t.parts) - kept.n_kept AS INT) AS n_dropped
+FROM t JOIN kept USING (doc_id)
+"""
+
+PIPELINE_ENTRIES.update(
+    {
+        "redact_pii": q_redact_pii,
+        "dedup_segments_within_doc": q_dedup_segments,
+    }
+)
+PIPELINE_ORACLE_SQL.update(
+    {
+        "redact_pii": _redact_pii_sql(),
+        "dedup_segments_within_doc": _DEDUP_SEGMENTS_SQL,
+    }
+)

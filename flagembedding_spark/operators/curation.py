@@ -88,3 +88,56 @@ def clean_corpus(
     if keep_langs is not None:
         out = out.filter(F.col("lang_pred").isin(list(keep_langs)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# text cleaning: PII redaction + within-document repeated-segment removal
+# ---------------------------------------------------------------------------
+
+# patterns restricted to the Java-regex ∩ RE2 common subset so the DuckDB
+# oracle runs the IDENTICAL expressions
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{9,16}\b", "<NUM>"),  # phone/account/cc-sized digit runs
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``redacted`` (the scrubbed text) and ``n_redactions`` — chained
+    columnar regexp_replace, no UDF. Order matters: emails first (their
+    local parts can contain digit runs), then IPs (dotted quads would
+    otherwise half-match the digit-run rule), then long digit runs."""
+    # counts run on the PROGRESSIVELY-redacted text so digit runs inside an
+    # email/IP aren't double-counted after the earlier rule consumed them
+    cur = F.col(text_col)
+    counts = []
+    for pat, repl in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))))
+        cur = F.regexp_replace(cur, pat, repl)
+    n = counts[0]
+    for c in counts[1:]:
+        n = n + c
+    return df.select(
+        "*", cur.alias("redacted"), n.cast("int").alias("n_redactions")
+    )
+
+
+def dedup_segments_within_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove REPEATED segments (lines / paragraphs / tokens, by ``sep``)
+    within each document, keeping first occurrences in order — the standard
+    boilerplate-paragraph cleanup in LLM corpus prep. Pure columnar:
+    array_distinct preserves first-occurrence order in Spark. Adds
+    ``cleaned`` and ``n_dropped``."""
+    parts = F.split(F.col(text_col), F.lit(sep), -1)
+    kept = F.array_distinct(parts)
+    return df.select(
+        "*",
+        F.array_join(kept, sep).alias("cleaned"),
+        (F.size(parts) - F.size(kept)).cast("int").alias("n_dropped"),
+    )

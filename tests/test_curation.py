@@ -89,3 +89,41 @@ def test_clean_corpus_lang_filter(spark):
     assert langs[1] == "en" and langs[2] == "es"
     only_en = clean_corpus(df, min_quality=0.0, keep_langs=("en",))
     assert [r["doc_id"] for r in only_en.collect()] == [1]
+
+
+def test_redact_pii_hand_checked(spark):
+    from flagembedding_spark.operators.curation import redact_pii
+
+    rows = [
+        (0, "mail a.b-c_9@sub.example.io now"),
+        (1, "ip 10.0.0.1 and card 4111111111111111"),
+        (2, "12345678 is short, 123456789 is long"),
+        (3, "nothing here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[0]["redacted"] == "mail <EMAIL> now"
+    assert out[1]["redacted"] == "ip <IP> and card <NUM>"
+    assert out[2]["redacted"] == "12345678 is short, <NUM> is long"
+    assert out[3]["redacted"] == "nothing here"
+    assert [out[i]["n_redactions"] for i in range(4)] == [1, 2, 1, 0]
+
+
+def test_dedup_segments_keeps_first_occurrence_order(spark):
+    from flagembedding_spark.operators.curation import (
+        dedup_segments_within_doc,
+    )
+
+    rows = [
+        (0, "b\na\nb\nc\na"),
+        (1, "x\nx\nx"),
+        (2, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["cleaned"], r["n_dropped"])
+        for r in dedup_segments_within_doc(df).collect()
+    }
+    assert out[0] == ("b\na\nc", 2)
+    assert out[1] == ("x", 2)
+    assert out[2] == ("solo", 0)
