@@ -1942,3 +1942,93 @@ PIPELINE_ORACLE_SQL.update(
         "dedup_segments_within_doc": _DEDUP_SEGMENTS_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# ColBERT-style multi-vector late interaction (BGE-M3 colbert_score,
+# m3.py:168-182 / modeling.py:223-237): score = Σ_i max_j (q_i·d_j) / |q|.
+# Multi-vector fixtures derive deterministically from the embeddings table:
+# 6 queries × 2 vectors (vec_ids i and i+6), 100 docs × 3 vectors
+# (vec_ids 12+3j .. 14+3j) — the SQL oracle reconstructs the same grouping.
+# ---------------------------------------------------------------------------
+
+CB_NQ, CB_QV, CB_ND, CB_DV, CB_K = 6, 2, 100, 3, 5
+CB_BASE = CB_NQ * CB_QV  # first corpus vec_id
+
+
+def _colbert_frames(spark: SparkSession, sf_dir: str):
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    q = (
+        emb.filter(F.col("vec_id") < CB_BASE)
+        .withColumn("qid", F.col("vec_id") % CB_NQ)
+        .groupBy("qid")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("vec_id", "embedding"))
+                ),
+                lambda s: s["embedding"],
+            ).alias("qvecs")
+        )
+    )
+    d = (
+        emb.filter(
+            (F.col("vec_id") >= CB_BASE)
+            & (F.col("vec_id") < CB_BASE + CB_ND * CB_DV)
+        )
+        .withColumn(
+            "docid",
+            ((F.col("vec_id") - CB_BASE) / CB_DV).cast("long"),
+        )
+        .groupBy("docid")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("vec_id", "embedding"))
+                ),
+                lambda s: s["embedding"],
+            ).alias("dvecs")
+        )
+    )
+    return q, d
+
+
+def q_colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.similarity import colbert_maxsim_topk
+
+    q, d = _colbert_frames(spark, sf_dir)
+    return colbert_maxsim_topk(q, d, k=CB_K, round_scores=4)
+
+
+def _colbert_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (
+  SELECT vec_id % {CB_NQ} AS qid, v FROM e WHERE vec_id < {CB_BASE}
+),
+d AS (
+  SELECT CAST(floor((vec_id - {CB_BASE}) / {CB_DV}) AS BIGINT) AS docid, v
+  FROM e WHERE vec_id >= {CB_BASE} AND vec_id < {CB_BASE + CB_ND * CB_DV}
+),
+ms AS (
+  SELECT q.qid, d.docid, q.v AS qv,
+         max(list_dot_product(q.v, d.v)) AS m
+  FROM q, d GROUP BY q.qid, d.docid, q.v
+),
+s AS (
+  SELECT qid, docid, round(sum(m) / {CB_QV}, 4) AS score
+  FROM ms GROUP BY qid, docid
+),
+ranked AS (
+  SELECT qid, docid, score,
+         CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY score DESC, docid ASC) AS INT) AS rank
+  FROM s
+)
+SELECT CAST(qid AS BIGINT) AS qid, docid, score, rank
+FROM ranked WHERE rank <= {CB_K}
+"""
+
+
+PIPELINE_ENTRIES["colbert_maxsim_topk"] = q_colbert_maxsim_topk
+PIPELINE_ORACLE_SQL["colbert_maxsim_topk"] = _colbert_sql()

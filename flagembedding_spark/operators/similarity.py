@@ -374,3 +374,99 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "docid", "cosine", "rank")
     )
+
+
+def colbert_maxsim_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    qid_col: str = "qid",
+    qvecs_col: str = "qvecs",
+    cid_col: str = "docid",
+    dvecs_col: str = "dvecs",
+    round_scores: int | None = None,
+) -> DataFrame:
+    """ColBERT-style late-interaction top-k over MULTI-vector columns
+    (array<array<float>>): score(q, d) = Σ_i max_j (q_i · d_j) / |q| — the
+    reference's colbert_score (m3.py:168-182 einsum('in,jn->ij').max(-1)
+    .sum()/len; the finetune twin modeling.py:223-237 is the same maxsim
+    mean). Vector normalization is upstream (the encoder), exactly as
+    there.
+
+    Kernel shape: queries broadcast as ONE stacked matrix; per Arrow batch
+    of corpus rows, a single GEMM against all the batch's doc vectors, then
+    segmented max over each doc's vector span (maximum.reduceat) and
+    segmented mean over each query's vector span (add.reduceat) — no
+    per-row Python. Per-partition tie-complete top-k, global window merge —
+    the _brute_numpy contract."""
+    qrows = queries.select(qid_col, qvecs_col).collect()
+    qids = [r[0] for r in qrows]
+    qcounts = np.array([len(r[1]) for r in qrows], dtype=np.int64)
+    if (qcounts == 0).any():
+        raise ValueError("every query needs >= 1 vector")
+    qmat = np.array(
+        [v for r in qrows for v in r[1]], dtype=np.float64
+    )
+    qstarts = np.cumsum(qcounts) - qcounts
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((qids, qmat, qstarts, qcounts))
+
+    out_pa = pa.schema(
+        [
+            pa.field("qid", pa.int64()),
+            pa.field("docid", pa.int64()),
+            pa.field("score", pa.float64()),
+        ]
+    )
+
+    def maxsim(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ids, Q, qs, qc = bq.value
+        for batch in batches:
+            docids = batch.column(0).to_numpy(zero_copy_only=False)
+            rows = batch.column(1).to_pylist()
+            counts = np.array([len(r) for r in rows], dtype=np.int64)
+            keep = counts > 0
+            if not keep.any():
+                continue
+            docids = docids[keep]
+            counts = counts[keep]
+            D = np.array(
+                [v for r, m in zip(rows, keep) if m for v in r],
+                dtype=np.float64,
+            )
+            S = Q @ D.T  # (Σ|q| vectors, Σ|d| vectors)
+            dstarts = np.cumsum(counts) - counts
+            M = np.maximum.reduceat(S, dstarts, axis=1)  # (Σ|q|, ndocs)
+            scores = (
+                np.add.reduceat(M, qs, axis=0) / qc[:, None]
+            )  # (nq, ndocs)
+            kk = min(k, scores.shape[1])
+            o_q, o_d, o_s = [], [], []
+            for qi in range(scores.shape[0]):
+                kth = np.partition(scores[qi], scores.shape[1] - kk)[
+                    scores.shape[1] - kk
+                ]
+                for ci in np.flatnonzero(scores[qi] >= kth):
+                    o_q.append(ids[qi])
+                    o_d.append(int(docids[ci]))
+                    o_s.append(float(scores[qi, ci]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_q, pa.int64()),
+                    pa.array(o_d, pa.int64()),
+                    pa.array(o_s, pa.float64()),
+                ],
+                schema=out_pa,
+            )
+
+    partial = corpus.select(
+        F.col(cid_col).cast("long").alias("docid"), F.col(dvecs_col).alias("v")
+    ).mapInArrow(maxsim, "qid long, docid long, score double")
+    if round_scores is not None:
+        partial = partial.withColumn("score", F.round("score", round_scores))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "docid", "score", "rank")
+    )

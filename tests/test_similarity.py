@@ -148,3 +148,35 @@ def test_ivf_trained_centroids_improve_recall(spark, emb, brute):
     r_trained = recall(centroids=cents)
     assert r_trained >= r_rand, (r_trained, r_rand)
     assert r_trained >= 0.5, r_trained
+
+
+def test_colbert_maxsim_matches_reference_semantics(spark):
+    """score = Σ_i max_j (q_i·d_j) / |q| — brute-force numpy twin of the
+    reference colbert_score (einsum → max(-1) → sum/len), variable vector
+    counts per doc, rank + score parity."""
+    import numpy as np
+
+    from flagembedding_spark.operators.similarity import colbert_maxsim_topk
+
+    rng = np.random.default_rng(5)
+    dim = 8
+    qs = [(i, [list(map(float, rng.standard_normal(dim))) for _ in range(1 + i % 3)]) for i in range(4)]
+    ds = [(j, [list(map(float, rng.standard_normal(dim))) for _ in range(1 + j % 4)]) for j in range(25)]
+    qdf = spark.createDataFrame(qs, "qid long, qvecs array<array<double>>")
+    ddf = spark.createDataFrame(ds, "docid long, dvecs array<array<double>>").repartition(4)
+    got = {
+        (r["qid"], r["rank"]): (r["docid"], round(r["score"], 9))
+        for r in colbert_maxsim_topk(qdf, ddf, k=3).collect()
+    }
+    for qid, qv in qs:
+        Q = np.array(qv)
+        scored = []
+        for docid, dv in ds:
+            D = np.array(dv)
+            scored.append((docid, float((Q @ D.T).max(axis=1).sum() / len(qv))))
+        scored.sort(key=lambda x: (-round(x[1], 12), x[0]))
+        for rank in range(1, 4):
+            d_want, s_want = scored[rank - 1]
+            d_got, s_got = got[(qid, rank)]
+            assert d_got == d_want, (qid, rank)
+            assert abs(s_got - s_want) < 1e-9
