@@ -2032,3 +2032,227 @@ FROM ranked WHERE rank <= {CB_K}
 
 PIPELINE_ENTRIES["colbert_maxsim_topk"] = q_colbert_maxsim_topk
 PIPELINE_ORACLE_SQL["colbert_maxsim_topk"] = _colbert_sql()
+
+
+# ---------------------------------------------------------------------------
+# BGE-M3 score family (m3.py:134-166 sparse dot, :688-726 ensemble):
+# lexical matching over deterministic per-text weights (tf/dl — the
+# {token: weight} dict shape), and the three-way dense+sparse+colbert
+# weighted-mean ensemble over the SAME qid/docid fixture as the colbert
+# entry (queries = vec_id<6 / doc_id<6 texts; docs = 100 groups).
+# ---------------------------------------------------------------------------
+
+M3_WEIGHTS = (0.4, 0.2, 0.4)
+M3_DOCBASE = 12  # documents doc_id offset for the 100 sparse docs
+
+
+def _m3_sparse_frames(spark: SparkSession, sf_dir: str):
+    from flagembedding_spark.operators.hybrid import lexical_weights_from_text
+
+    docs = _docs(spark, sf_dir)
+    qw = (
+        lexical_weights_from_text(docs.filter(F.col("doc_id") < CB_NQ))
+        .select(F.col("id").alias("qid"), "term", "weight")
+    )
+    dw = lexical_weights_from_text(
+        docs.filter(
+            (F.col("doc_id") >= M3_DOCBASE)
+            & (F.col("doc_id") < M3_DOCBASE + CB_ND)
+        ).withColumn("doc_id", F.col("doc_id") - M3_DOCBASE)
+    )
+    return qw, dw
+
+
+def q_lexical_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry emits the EXACT integer numerator Σ tf_q·tf_d plus both doc
+    lengths — the tf/dl-normalized float score is score_num/(dl_q·dl_d),
+    but float sums of dyadic rationals land exactly on 6dp rounding
+    boundaries and flip by summation order (caught by the gate); the
+    integer form is order-independent and hash-exact in any engine."""
+    from flagembedding_spark.operators.hybrid import lexical_matching_scores
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ", -1)
+    qw = (
+        docs.filter(F.col("doc_id") < CB_NQ)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.size(toks).alias("dl_q"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("qid", "term", "dl_q")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    dw = (
+        docs.filter(
+            (F.col("doc_id") >= M3_DOCBASE)
+            & (F.col("doc_id") < M3_DOCBASE + CB_ND)
+        )
+        .select(
+            (F.col("doc_id") - M3_DOCBASE).alias("id"),
+            F.size(toks).alias("dl_d"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("id", "term", "dl_d")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    out = lexical_matching_scores(
+        qw.select("qid", "term", "weight"), dw.select("id", "term", "weight")
+    )
+    dls_q = qw.select("qid", "dl_q").distinct()
+    dls_d = dw.select(F.col("id").alias("docid"), "dl_d").distinct()
+    return (
+        out.join(F.broadcast(dls_q), "qid")
+        .join(dls_d, "docid")
+        .select(
+            "qid", "docid",
+            F.col("score").cast("long").alias("score_num"),
+            "dl_q", "dl_d",
+        )
+    )
+
+
+def _lexical_matching_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         len(string_split(text, ' ')) AS dl
+  FROM documents
+),
+w AS (
+  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+  FROM tok GROUP BY doc_id, term
+),
+qw AS (SELECT doc_id AS qid, term, tf, dl FROM w WHERE doc_id < {CB_NQ}),
+dw AS (
+  SELECT doc_id - {M3_DOCBASE} AS docid, term, tf, dl FROM w
+  WHERE doc_id >= {M3_DOCBASE} AND doc_id < {M3_DOCBASE + CB_ND}
+)
+SELECT qw.qid AS qid, dw.docid AS docid,
+       CAST(sum(qw.tf * dw.tf) AS BIGINT) AS score_num,
+       CAST(any_value(qw.dl) AS INT) AS dl_q,
+       CAST(any_value(dw.dl) AS INT) AS dl_d
+FROM qw JOIN dw USING (term)
+GROUP BY 1, 2
+"""
+
+
+def q_m3_ensemble_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flagembedding_spark.operators.hybrid import (
+        lexical_matching_scores,
+        m3_ensemble_topk,
+    )
+    from flagembedding_spark.operators.similarity import (
+        brute_force_cosine_topk,
+        colbert_maxsim_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qd = emb.filter(F.col("vec_id") < CB_NQ)
+    dd = emb.filter(
+        (F.col("vec_id") >= CB_BASE)
+        & (F.col("vec_id") < CB_BASE + CB_ND * CB_DV)
+        & ((F.col("vec_id") - CB_BASE) % CB_DV == 0)
+    ).select(
+        (((F.col("vec_id") - CB_BASE) / CB_DV).cast("long")).alias("vec_id"),
+        "embedding",
+    )
+    dense = brute_force_cosine_topk(qd, dd, k=CB_ND).select(
+        "qid", "docid", F.col("cosine").alias("score")
+    )
+    # sparse leg via the integer-exact numerator (see q_lexical_matching):
+    # ONE division of exact ints is order-independent, unlike a float sum
+    sparse = q_lexical_matching(spark, sf_dir).select(
+        "qid", "docid",
+        (
+            F.col("score_num")
+            / (F.col("dl_q").cast("double") * F.col("dl_d"))
+        ).alias("score"),
+    )
+    qv, dv = _colbert_frames(spark, sf_dir)
+    colbert = colbert_maxsim_topk(qv, dv, k=CB_ND)
+    return m3_ensemble_topk(
+        dense, sparse, colbert, weights=M3_WEIGHTS, k=CB_K, round_scores=4
+    )
+
+
+def _m3_ensemble_sql() -> str:
+    wd, ws, wc = M3_WEIGHTS
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qe AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < {CB_NQ}),
+deD AS (
+  SELECT CAST(floor((vec_id - {CB_BASE}) / {CB_DV}) AS BIGINT) AS docid, v
+  FROM e WHERE vec_id >= {CB_BASE} AND vec_id < {CB_BASE + CB_ND * CB_DV}
+        AND (vec_id - {CB_BASE}) % {CB_DV} = 0
+),
+dense AS (
+  SELECT q.qid, d.docid,
+         list_dot_product(q.v, d.v)
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(d.v, d.v))) AS s
+  FROM qe q, deD d
+),
+qc AS (SELECT vec_id % {CB_NQ} AS qid, v FROM e WHERE vec_id < {CB_BASE}),
+dc AS (
+  SELECT CAST(floor((vec_id - {CB_BASE}) / {CB_DV}) AS BIGINT) AS docid, v
+  FROM e WHERE vec_id >= {CB_BASE} AND vec_id < {CB_BASE + CB_ND * CB_DV}
+),
+msq AS (
+  SELECT qc.qid, dc.docid, qc.v AS qv, max(list_dot_product(qc.v, dc.v)) AS m
+  FROM qc, dc GROUP BY qc.qid, dc.docid, qc.v
+),
+colbert AS (
+  SELECT qid, docid, sum(m) / {CB_QV} AS s FROM msq GROUP BY qid, docid
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         len(string_split(text, ' ')) AS dl
+  FROM documents
+),
+w AS (
+  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+  FROM tok GROUP BY doc_id, term
+),
+qw AS (SELECT doc_id AS qid, term, tf, dl FROM w WHERE doc_id < {CB_NQ}),
+dw AS (
+  SELECT doc_id - {M3_DOCBASE} AS docid, term, tf, dl FROM w
+  WHERE doc_id >= {M3_DOCBASE} AND doc_id < {M3_DOCBASE + CB_ND}
+),
+sparse AS (
+  SELECT qw.qid, dw.docid,
+         CAST(sum(qw.tf * dw.tf) AS DOUBLE)
+           / (any_value(qw.dl) * any_value(dw.dl)) AS s
+  FROM qw JOIN dw USING (term) GROUP BY 1, 2
+),
+ens AS (
+  SELECT d.qid, d.docid,
+         round((d.s * {wd} + coalesce(sp.s, 0.0) * {ws}
+                + cb.s * {wc}) / {wd + ws + wc}, 4) AS score
+  FROM dense d
+  JOIN colbert cb ON cb.qid = d.qid AND cb.docid = d.docid
+  LEFT JOIN sparse sp ON sp.qid = d.qid AND sp.docid = d.docid
+),
+ranked AS (
+  SELECT qid, docid, score,
+         CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY score DESC, docid ASC) AS INT) AS rank
+  FROM ens
+)
+SELECT CAST(qid AS BIGINT) AS qid, docid, score, rank
+FROM ranked WHERE rank <= {CB_K}
+"""
+
+
+PIPELINE_ENTRIES.update(
+    {
+        "lexical_matching": q_lexical_matching,
+        "m3_ensemble_topk": q_m3_ensemble_topk,
+    }
+)
+PIPELINE_ORACLE_SQL.update(
+    {
+        "lexical_matching": _lexical_matching_sql(),
+        "m3_ensemble_topk": _m3_ensemble_sql(),
+    }
+)

@@ -111,3 +111,94 @@ def mine_hard_negatives(
         .filter(F.col("pick") <= n_negatives)
         .select("qid", "docid", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# BGE-M3 score family: lexical (sparse) matching + three-way ensemble
+# ---------------------------------------------------------------------------
+
+def lexical_weights_from_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term, weight = tf/dl) — the shape of the reference's per-text
+    lexical-weight dict ({token: weight}, m3.py:120-132), derived
+    deterministically from text so the sparse path is testable without the
+    neural encoder. One hash-agg shuffle."""
+    from flagembedding_spark.functions.tokenize import whitespace_tokens
+
+    toks = whitespace_tokens(text_col)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(toks).cast("double").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("id", "term", "dl")
+        .agg(F.count("*").alias("tf"))
+        .select(
+            "id", "term", (F.col("tf") / F.col("dl")).alias("weight")
+        )
+    )
+
+
+def lexical_matching_scores(
+    q_weights: DataFrame, d_weights: DataFrame
+) -> DataFrame:
+    """The reference's compute_lexical_matching_score (m3.py:134-166):
+    score(q, d) = Σ over SHARED tokens of qw(t)·dw(t) — a sparse dot
+    product. Inputs (qid, term, weight) and (docid, term, weight); the tiny
+    query side broadcasts into the term join, so the doc-weight table is
+    never shuffled. → (qid, docid, score); pairs sharing no token are
+    absent (score 0 by convention, coalesced by consumers)."""
+    q = q_weights.select("qid", "term", F.col("weight").alias("qw"))
+    d = d_weights.select(
+        F.col("id").alias("docid"), "term", F.col("weight").alias("dw")
+    )
+    return (
+        d.join(F.broadcast(q), "term")
+        .groupBy("qid", "docid")
+        .agg(F.sum(F.col("qw") * F.col("dw")).alias("score"))
+    )
+
+
+def m3_ensemble_topk(
+    dense: DataFrame,
+    sparse: DataFrame,
+    colbert: DataFrame,
+    weights: tuple[float, float, float] = (0.4, 0.2, 0.4),
+    k: int = 10,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """BGE-M3's 'colbert+sparse+dense' ensemble
+    (m3.py:688-726, modeling.py:239-263): weighted MEAN of the three score
+    surfaces — (wd·dense + ws·sparse + wc·colbert) / (wd+ws+wc) — with a
+    missing pair contributing 0 on that surface. Inputs are
+    (qid, docid, score) frames; → (qid, docid, score, rank ≤ k),
+    (score DESC, docid ASC)."""
+    wd, ws, wc = (float(x) for x in weights)
+    total = wd + ws + wc
+
+    def pre(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            "qid", "docid", F.col("score").alias(name)
+        )
+
+    joined = (
+        pre(dense, "s_dense")
+        .join(pre(sparse, "s_sparse"), ["qid", "docid"], "full_outer")
+        .join(pre(colbert, "s_colbert"), ["qid", "docid"], "full_outer")
+    )
+    score = (
+        F.coalesce("s_dense", F.lit(0.0)) * wd
+        + F.coalesce("s_sparse", F.lit(0.0)) * ws
+        + F.coalesce("s_colbert", F.lit(0.0)) * wc
+    ) / total
+    out = joined.select("qid", "docid", score.alias("score"))
+    if round_scores is not None:
+        out = out.withColumn("score", F.round("score", round_scores))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "docid", "score", "rank")
+    )

@@ -182,3 +182,55 @@ def test_retrieval_metrics_binary_matches_reference(spark):
     }
     for key, v in want.items():
         assert abs(got[key] - v) < 5e-6, (key, got[key], v)
+
+
+def test_lexical_matching_matches_reference_dict_semantics(spark):
+    """score = Σ over shared tokens of qw·dw — the reference's sparse dict
+    dot (m3.py:148-153), hand-checked."""
+    from flagembedding_spark.operators.hybrid import (
+        lexical_matching_scores,
+        lexical_weights_from_text,
+    )
+
+    qdf = spark.createDataFrame(
+        [(0, "a b b"), (1, "zz_only")], "doc_id long, text string"
+    )
+    ddf = spark.createDataFrame(
+        [(7, "b c"), (8, "a a b"), (9, "c c")], "doc_id long, text string"
+    )
+    qw = lexical_weights_from_text(qdf).select(
+        F.col("id").alias("qid"), "term", "weight"
+    )
+    dw = lexical_weights_from_text(ddf)
+    got = {
+        (r["qid"], r["docid"]): round(r["score"], 9)
+        for r in lexical_matching_scores(qw, dw).collect()
+    }
+    # q0: a=1/3, b=2/3 ; d7: b=1/2, c=1/2 ; d8: a=2/3, b=1/3
+    assert got[(0, 7)] == round(2 / 3 * 1 / 2, 9)
+    assert got[(0, 8)] == round(1 / 3 * 2 / 3 + 2 / 3 * 1 / 3, 9)
+    assert (0, 9) not in got  # no shared token
+    assert not any(q == 1 for q, _ in got)  # OOV query matches nothing
+
+
+def test_m3_ensemble_weighted_mean_and_missing_zero(spark):
+    from flagembedding_spark.operators.hybrid import m3_ensemble_topk
+
+    dense = spark.createDataFrame(
+        [(0, 1, 0.9), (0, 2, 0.5)], "qid long, docid long, score double"
+    )
+    sparse = spark.createDataFrame(
+        [(0, 2, 1.0)], "qid long, docid long, score double"
+    )
+    colbert = spark.createDataFrame(
+        [(0, 1, 0.2), (0, 3, 0.8)], "qid long, docid long, score double"
+    )
+    out = {
+        r["docid"]: (round(r["score"], 6), r["rank"])
+        for r in m3_ensemble_topk(
+            dense, sparse, colbert, weights=(0.4, 0.2, 0.4), k=3
+        ).collect()
+    }
+    assert out[1] == (round((0.4 * 0.9 + 0.4 * 0.2) / 1.0, 6), 1)
+    assert out[2] == (round((0.4 * 0.5 + 0.2 * 1.0) / 1.0, 6), 2)
+    assert out[3] == (round(0.4 * 0.8 / 1.0, 6), 3)
