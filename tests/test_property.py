@@ -99,3 +99,75 @@ def test_randomized_bm25_vs_bruteforce(spark):
             assert set(g) == set(want), (seed, qid)
             for d in want:
                 assert math.isclose(g[d], want[d], rel_tol=1e-9), (seed, qid, d)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=100_000),
+            min_size=1, max_size=8, unique=True,
+        ),
+        min_size=1, max_size=120,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_positions_codec_roundtrip_property(pos_lists):
+    """Per-posting sorted position lists → varint stream → back, for any
+    list shape (incl. position 0, singletons, large gaps)."""
+    from flagembedding_spark.operators.segments import (
+        decode_positions,
+        encode_positions,
+    )
+
+    counts = np.array([len(p) for p in pos_lists], dtype=np.int64)
+    flat = np.concatenate(
+        [np.sort(np.array(p, dtype=np.int64)) for p in pos_lists]
+    )
+    assert np.array_equal(
+        decode_positions(encode_positions(flat, counts), counts), flat
+    )
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab c".split(" ") + ["ab", "c", "d"]),
+                 min_size=1, max_size=12),
+        min_size=1, max_size=10,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=30, deadline=None)
+def test_phrase_counts_match_brute_python_property(docs_tokens, m):
+    """Pure-Python brute phrase counting == the positional-list intersection
+    math used by every phrase kernel (start positions of adjacent runs),
+    via the positions-only reference implementation."""
+    phrase = ["ab", "c", "d"][:m]
+
+    # brute: scan every doc for adjacent runs
+    want = {}
+    for i, toks in enumerate(docs_tokens):
+        n = sum(
+            1
+            for s in range(len(toks) - m + 1)
+            if toks[s : s + m] == phrase
+        )
+        if n:
+            want[i] = n
+
+    # positional-list math: pos(t0) ∩ (pos(t1)-1) ∩ ... per doc
+    got = {}
+    for i, toks in enumerate(docs_tokens):
+        sets = []
+        ok = True
+        for j, t in enumerate(phrase):
+            ps = {p - j for p, tok in enumerate(toks) if tok == t and p >= j}
+            if not ps:
+                ok = False
+                break
+            sets.append(ps)
+        if not ok:
+            continue
+        starts = set.intersection(*sets)
+        if starts:
+            got[i] = len(starts)
+    assert got == want
