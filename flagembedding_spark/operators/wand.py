@@ -46,6 +46,36 @@ _RESULT_PA = pa.schema(
 )
 
 
+# dense-accumulator ceiling: one transient float64 array of this many
+# entries (128 MB) per in-flight query — far above any single corpus
+# partition's docid range, far below lineage ids (chunk·2^40), which take
+# the sort-based path
+_DENSE_ACC_MAX = 1 << 24
+
+
+def _accumulate(d: np.ndarray, s: np.ndarray):
+    """Exact per-doc score totals → (docids ascending, totals).
+
+    Dense path: when docids are small non-negative ints (the dense-corpus
+    case — serving stores, doc-partitioned buckets), ONE bincount pass —
+    no sort. np.unique(return_inverse=True) was measured 24 s on a 22 M
+    posting hot query at 2 M docs; bincount is 0.25 s. Sparse path
+    (lineage-scale ids): unique + in-order add. Both paths add the same
+    elements in the same order, so every float bit matches."""
+    if d.size == 0:
+        return d.astype(np.int64), s.astype(np.float64)
+    mn = int(d.min())
+    mx = int(d.max())
+    if 0 <= mn and mx < _DENSE_ACC_MAX:
+        acc = np.bincount(d, weights=s, minlength=mx + 1)
+        nz = np.flatnonzero(acc)  # partial scores are strictly positive
+        return nz.astype(np.int64), acc[nz]
+    uniq = np.unique(d)
+    acc = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(acc, np.searchsorted(uniq, d), s)
+    return uniq, acc
+
+
 def _topk_rows(qid: str, docids: np.ndarray, scores: np.ndarray, k: int):
     """Deterministic (score DESC, docid ASC) top-k."""
     if docids.size == 0:
@@ -272,9 +302,7 @@ def _pruned_query(qid: str, term_blocks: dict, k: int):
         return []
     d = np.concatenate(all_d)
     s = np.concatenate(all_s)
-    cand, inv = np.unique(d, return_inverse=True)
-    acc = np.zeros(cand.size, dtype=np.float64)
-    np.add.at(acc, inv, s)
+    cand, acc = _accumulate(d, s)
 
     # 4. candidate-only rescoring against non-essential terms: select
     # range-intersecting blocks vectorized, bulk-decode them, then ONE
@@ -344,9 +372,7 @@ def _exact_query(qid: str, term_blocks: dict, k: int):
         return []
     d = np.concatenate(all_d)
     s = np.concatenate(all_s)
-    uniq, inv = np.unique(d, return_inverse=True)
-    acc = np.zeros(uniq.size, dtype=np.float64)
-    np.add.at(acc, inv, s)
+    uniq, acc = _accumulate(d, s)
     return _topk_rows(qid, uniq, acc, k)
 
 

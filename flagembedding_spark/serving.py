@@ -30,6 +30,7 @@ import pyarrow.dataset as ds
 
 from flagembedding_spark.operators.segments import decode_blocks_batch
 from flagembedding_spark.operators.wand import (
+    _accumulate,
     _auto_query,
     _exact_query,
     _pruned_query,
@@ -37,13 +38,18 @@ from flagembedding_spark.operators.wand import (
 )
 
 
-def _exact_query_mt(qid, term_blocks, k, pool, chunk=512):
+def _exact_query_mt(qid, term_blocks, k, pool, chunk=4096):
     """Thread-parallel twin of wand._exact_query for HEAD (stopword-laden)
     queries: per-(term, block-chunk) decode+score jobs fan out over the
     pool (varint decode is numpy — the GIL is released in the hot loops),
     then ONE ordered concatenation + accumulation. Chunks are concatenated
     in submission order, so the float addition sequence — and therefore
-    every score bit — is identical to the single-threaded path."""
+    every score bit — is identical to the single-threaded path.
+
+    Chunk sizing: after the varint fast path, per-chunk numpy work is so
+    cheap that 512-block chunks were overhead-dominated (GIL-held Python
+    per op); 4096 blocks ≈ 0.5M postings/job keeps ~10 jobs per hot term
+    and measured 3× over single-thread at 1M docs."""
     jobs = []
     for weight, _firsts, _lasts, _ubs, blocks in term_blocks.values():
         for s in range(0, len(blocks), chunk):
@@ -65,9 +71,7 @@ def _exact_query_mt(qid, term_blocks, k, pool, chunk=512):
     parts = list(pool.map(work, jobs))
     d = np.concatenate([p[0] for p in parts])
     s = np.concatenate([p[1] for p in parts])
-    uniq, inv = np.unique(d, return_inverse=True)
-    acc = np.zeros(uniq.size, dtype=np.float64)
-    np.add.at(acc, inv, s)
+    uniq, acc = _accumulate(d, s)
     return _topk_rows(qid, uniq, acc, k)
 
 
@@ -166,7 +170,11 @@ class SegmentReader:
             )
             for t, e in term_blocks.items()
         }
-        if self._pool is not None and mode in ("auto", "exact"):
+        # fan out only when the decode volume amortizes thread overhead —
+        # after the varint fast path a hot term decodes at ~0.15 s per
+        # million postings, so small stores are faster single-threaded
+        big = sum(len(e[4]) for e in packed.values()) >= 32_768
+        if self._pool is not None and big and mode in ("auto", "exact"):
             # same per-query pick as wand._auto_query (UB spread), but the
             # exact branch — the head-query hot path — goes multi-threaded
             use_exact = mode == "exact" or len(packed) <= 1
