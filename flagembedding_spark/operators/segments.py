@@ -642,3 +642,98 @@ def load_segments(spark: SparkSession, root: str) -> SegmentIndex:
         layout=meta.get("layout", "term"),
         has_positions=meta.get("has_positions", False),
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-generation merge (incremental ingest → one canonical store)
+# ---------------------------------------------------------------------------
+
+
+def merge_stores(
+    spark: SparkSession,
+    roots: list[str],
+    out_root: str | None = None,
+    check_disjoint: bool = True,
+) -> SegmentIndex:
+    """Merge N independently-built segment stores (generations of an
+    incremental ingest) into ONE canonical index with CORRECT global
+    statistics — the cross-segment Lucene merge, done at the block level
+    with no re-tokenization:
+
+    - corpus stats: N = Σ nᵢ; avgdl = Σ nᵢ·avgdlᵢ / N
+    - dictionary:   df = Σ dfᵢ per term; idf recomputed from the merged N
+    - blocks:       union → per-bucket k-way merge; max_tfn is RE-derived
+      from each posting's stored (tf, dl) under the MERGED avgdl, so
+      block-max pruning stays score-safe (per-store max_tfn would be stale)
+    - positions carried when every generation stored them
+
+    Generations must share the BM25 config and hold DISJOINT docid spaces
+    (lineage chunk ids satisfy this by construction); ``check_disjoint``
+    verifies the per-store [min, max] docid ranges don't overlap — cheap,
+    and catches the standard mistake of rebuilding a generation with a
+    fresh id space."""
+    if len(roots) < 2:
+        raise ValueError("need at least two stores to merge")
+    segs = [load_segments(spark, r) for r in roots]
+    cfg0 = segs[0].config
+    for s in segs[1:]:
+        if (
+            s.config.k1 != cfg0.k1
+            or s.config.b != cfg0.b
+            or s.config.use_avgdl != cfg0.use_avgdl
+            or s.config.block_size != cfg0.block_size
+            or s.config.term_buckets != cfg0.term_buckets
+        ):
+            raise ValueError("stores were built with different BM25 configs")
+    layouts = {getattr(s, "layout", "term") for s in segs}
+    if layouts != {"term"}:
+        raise ValueError("merge_stores merges term-bucketed stores")
+    if check_disjoint:
+        ranges = []
+        for r, s in zip(roots, segs):
+            row = s.blocks.agg(
+                F.min("docid_first").alias("lo"), F.max("docid_last").alias("hi")
+            ).collect()[0]
+            ranges.append((row["lo"], row["hi"], r))
+        ranges.sort()
+        for (lo1, hi1, r1), (lo2, hi2, r2) in zip(ranges, ranges[1:]):
+            if lo2 is not None and hi1 is not None and lo2 <= hi1:
+                raise ValueError(
+                    f"docid ranges overlap between {r1} [{lo1},{hi1}] and "
+                    f"{r2} [{lo2},{hi2}] — generations must use disjoint "
+                    "docid spaces"
+                )
+    n = sum(s.stats.n_docs for s in segs)
+    avgdl = (
+        sum(s.stats.n_docs * s.stats.avgdl for s in segs) / n if n else 0.0
+    )
+    blocks = segs[0].blocks
+    for s in segs[1:]:
+        blocks = blocks.unionByName(s.blocks)
+    dictionary = segs[0].dictionary.select("term", "df")
+    for s in segs[1:]:
+        dictionary = dictionary.unionByName(s.dictionary.select("term", "df"))
+    dictionary = (
+        dictionary.groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+    )
+    merged = merge_segments(
+        SegmentIndex(
+            blocks=blocks,
+            dictionary=dictionary,
+            stats=CorpusStats(n_docs=n, avgdl=avgdl),
+            config=cfg0,
+            has_positions=all(s.has_positions for s in segs),
+        )
+    )
+    if out_root is not None:
+        save_segments(merged, out_root)
+        return load_segments(spark, out_root)
+    return merged

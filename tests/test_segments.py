@@ -496,3 +496,97 @@ def test_two_phase_identity_doc_layout(index, tiny_queries):
         6,
     )
     assert two == base
+
+
+def test_merge_stores_matches_single_shot(spark, tmp_path):
+    """Two generations with disjoint docid spaces merged at the BLOCK level
+    == the single-shot index over the full corpus: global df/idf/avgdl are
+    recomputed, so scores match to rounding and ranks are identical —
+    including terms that span both generations."""
+    from flagembedding_spark.operators.segments import (
+        merge_stores,
+        save_segments,
+    )
+    from flagembedding_spark.schemas import synth_corpus
+
+    from pyspark.sql import functions as F
+
+    corpus = synth_corpus(spark, 300, seed=21).cache()
+    cfg = BM25Config(block_size=16, term_buckets=8)
+
+    full = merge_segments(build_segments(build_index(corpus, cfg)))
+
+    # generations: first 150 / last 150 rows by a deterministic key split,
+    # ids preserved by building each half with the SAME docid assignment
+    # (assign over the full corpus, then filter)
+    idx_full = build_index(corpus, cfg)
+    ids = idx_full.doc_stats.select("docid", "docid_str")
+    import dataclasses
+
+    halves = []
+    for pred in (F.col("docid") < 150, F.col("docid") >= 150):
+        keep = ids.filter(pred)
+        post = idx_full.postings.join(keep.select("docid"), "docid")
+        stats_row = (
+            idx_full.doc_stats.join(keep.select("docid"), "docid")
+            .agg(F.count("*").alias("n"), F.avg("dl").alias("a"))
+            .collect()[0]
+        )
+        from flagembedding_spark.operators.index_build import CorpusStats
+
+        nn = float(stats_row["n"])
+        dic = (
+            post.groupBy("term").agg(F.count("*").alias("df"))
+            .withColumn(
+                "idf",
+                F.log((F.lit(nn) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+            )
+        )
+        half_idx = dataclasses.replace(
+            idx_full,
+            postings=post,
+            dictionary=dic,
+            stats=CorpusStats(int(stats_row["n"]), float(stats_row["a"])),
+        )
+        halves.append(merge_segments(build_segments(half_idx)))
+
+    r1, r2, rout = (str(tmp_path / x) for x in ("g1", "g2", "merged"))
+    save_segments(halves[0], r1)
+    save_segments(halves[1], r2)
+    merged = merge_stores(spark, [r1, r2], rout)
+
+    assert merged.stats.n_docs == full.stats.n_docs
+    assert abs(merged.stats.avgdl - full.stats.avgdl) < 1e-9
+
+    from flagembedding_spark.schemas import synth_queries
+
+    qs = synth_queries(spark, 30, seed=5)
+    a = _canon(wand_topk(merged, qs, k=10, use_wand="auto").collect(), 6)
+    b = _canon(wand_topk(full, qs, k=10, use_wand="auto").collect(), 6)
+    assert a == b
+
+
+def test_merge_stores_rejects_overlap_and_config_mismatch(spark, tmp_path):
+    from flagembedding_spark.operators.segments import (
+        merge_stores,
+        save_segments,
+    )
+    from flagembedding_spark.schemas import synth_corpus
+
+    cfg = BM25Config(block_size=16, term_buckets=8)
+    seg = merge_segments(build_segments(build_index(synth_corpus(spark, 60), cfg)))
+    r1, r2 = str(tmp_path / "a"), str(tmp_path / "b")
+    save_segments(seg, r1)
+    save_segments(seg, r2)  # identical store → overlapping docids
+    with pytest.raises(ValueError, match="overlap"):
+        merge_stores(spark, [r1, r2])
+
+    other = merge_segments(
+        build_segments(
+            build_index(synth_corpus(spark, 60), BM25Config(k1=0.9, term_buckets=8, block_size=16))
+        )
+    )
+    r3 = str(tmp_path / "c")
+    save_segments(other, r3)
+    with pytest.raises(ValueError, match="config"):
+        merge_stores(spark, [r1, r3], check_disjoint=False)
