@@ -111,3 +111,77 @@ def test_ingest_exactly_once_on_rerun(spark, tmproot):
     idx = load_incremental_index(spark, root)
     assert idx.stats.n_docs == 30
     assert idx.doc_stats.select("docid_str").distinct().count() == 30
+
+
+def test_ingest_generations_merge_into_one_store(spark, tmproot):
+    """The full incremental story: each ingest wave becomes its OWN segment
+    store (a generation — docids are batch-scoped so spaces are disjoint by
+    construction), then merge_stores folds the generations into one
+    canonical index whose query results equal the all-data build."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from flagembedding_spark.operators.index_build import CorpusStats
+    from flagembedding_spark.operators.segments import (
+        build_segments,
+        merge_segments,
+        merge_stores,
+        save_segments,
+    )
+    from flagembedding_spark.operators.wand import wand_topk
+    from flagembedding_spark.schemas import synth_queries
+
+    rows = synth_corpus_rows(120, seed=42)
+    inp = f"{tmproot}/in"
+    root = f"{tmproot}/idx"
+    cfg = BM25Config(block_size=16, term_buckets=8)
+
+    gen_roots = []
+    for wave, chunk in enumerate((rows[:60], rows[60:])):
+        _write_wave(inp, chunk, f"wave{wave}")
+        q = start_incremental_ingest(spark, inp, root, cfg)
+        q.awaitTermination(120)
+        full = load_incremental_index(spark, root, cfg)
+        # this generation = only the docids ingested by THIS wave
+        batch_min = full.postings.agg(F.max("docid")).collect()[0][0] >> 40
+        gen_post = full.postings.filter(
+            F.shiftright("docid", 40) == batch_min
+        )
+        gen_docs = full.doc_stats.filter(F.shiftright("docid", 40) == batch_min)
+        srow = gen_docs.agg(
+            F.count("*").alias("n"), F.avg("dl").alias("a")
+        ).collect()[0]
+        nn = float(srow["n"])
+        dic = (
+            gen_post.groupBy("term").agg(F.count("*").alias("df"))
+            .withColumn(
+                "idf",
+                F.log((F.lit(nn) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+            )
+        )
+        gen_idx = dataclasses.replace(
+            full, postings=gen_post, doc_stats=gen_docs,
+            dictionary=dic, stats=CorpusStats(int(srow["n"]), float(srow["a"])),
+        )
+        g = f"{tmproot}/gen{wave}"
+        save_segments(merge_segments(build_segments(gen_idx)), g)
+        gen_roots.append(g)
+
+    merged = merge_stores(spark, gen_roots)
+    all_idx = load_incremental_index(spark, root, cfg)
+    single = merge_segments(build_segments(all_idx))
+    qs = synth_queries(spark, 25, seed=3)
+
+    def canon(rows_):
+        by = {}
+        for r in rows_:
+            by.setdefault(r["qid"], []).append(
+                (round(r["score"], 6), r["docid"])
+            )
+        return {k: sorted(v, key=lambda x: (-x[0], x[1])) for k, v in by.items()}
+
+    assert canon(wand_topk(merged, qs, k=10).collect()) == canon(
+        wand_topk(single, qs, k=10).collect()
+    )
+    assert merged.stats.n_docs == 120
