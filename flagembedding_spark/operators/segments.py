@@ -654,6 +654,7 @@ def merge_stores(
     roots: list[str],
     out_root: str | None = None,
     check_disjoint: bool = True,
+    target_layout: str = "term",
 ) -> SegmentIndex:
     """Merge N independently-built segment stores (generations of an
     incremental ingest) into ONE canonical index with CORRECT global
@@ -671,7 +672,13 @@ def merge_stores(
     (lineage chunk ids satisfy this by construction); ``check_disjoint``
     verifies the per-store [min, max] docid ranges don't overlap — cheap,
     and catches the standard mistake of rebuilding a generation with a
-    fresh id space."""
+    fresh id space.
+
+    ``target_layout``: 'term' (default — block-level fast path when every
+    generation is term-bucketed) or 'doc'. When the target is 'doc' or any
+    generation is doc-partitioned, the merge decodes blocks back to logical
+    postings (postings_from_segments — still no re-tokenize) and rebuilds
+    the target layout with the merged statistics."""
     if len(roots) < 2:
         raise ValueError("need at least two stores to merge")
     segs = [load_segments(spark, r) for r in roots]
@@ -685,9 +692,10 @@ def merge_stores(
             or s.config.term_buckets != cfg0.term_buckets
         ):
             raise ValueError("stores were built with different BM25 configs")
+    if target_layout not in ("term", "doc"):
+        raise ValueError(f"unknown target_layout {target_layout!r}")
     layouts = {getattr(s, "layout", "term") for s in segs}
-    if layouts != {"term"}:
-        raise ValueError("merge_stores merges term-bucketed stores")
+    decode_path = target_layout == "doc" or layouts != {"term"}
     if check_disjoint:
         ranges = []
         for r, s in zip(roots, segs):
@@ -724,16 +732,84 @@ def merge_stores(
             ),
         )
     )
-    merged = merge_segments(
-        SegmentIndex(
-            blocks=blocks,
-            dictionary=dictionary,
-            stats=CorpusStats(n_docs=n, avgdl=avgdl),
-            config=cfg0,
-            has_positions=all(s.has_positions for s in segs),
+    stats = CorpusStats(n_docs=n, avgdl=avgdl)
+    if decode_path:
+        post = postings_from_segments(segs[0])
+        for s in segs[1:]:
+            post = post.unionByName(postings_from_segments(s))
+        doc_stats = post.groupBy("docid").agg(
+            F.first("dl").alias("dl")
+        ).select(
+            "docid", F.col("docid").cast("string").alias("docid_str"), "dl",
+            F.lit(None).cast("string").alias("content_sha256"),
         )
-    )
+        logical = InvertedIndex(
+            postings=post, doc_stats=doc_stats, dictionary=dictionary,
+            stats=stats, config=cfg0,
+        )
+        if target_layout == "doc":
+            merged = build_doc_partitioned_segments(logical)
+        else:
+            merged = merge_segments(build_segments(logical))
+    else:
+        merged = merge_segments(
+            SegmentIndex(
+                blocks=blocks,
+                dictionary=dictionary,
+                stats=stats,
+                config=cfg0,
+                has_positions=all(s.has_positions for s in segs),
+            )
+        )
     if out_root is not None:
         save_segments(merged, out_root)
         return load_segments(spark, out_root)
     return merged
+
+
+def postings_from_segments(seg: SegmentIndex) -> DataFrame:
+    """Decode a segment store back into the logical postings DataFrame
+    (term, docid, tf, dl) — the inverse of the block writer, as a
+    mapInArrow kernel (one batched varint pass per block group). Lets any
+    store — either layout — feed a rebuild (layout conversion, config
+    change, cross-layout generation merge) without re-tokenizing the
+    corpus."""
+
+    def explode_blocks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            terms = batch.column("term").to_pylist()
+            ns = batch.column("n").to_pylist()
+            firsts = batch.column("docid_first").to_pylist()
+            docs = batch.column("docs").to_pylist()
+            tfs = batch.column("tfs").to_pylist()
+            dls = batch.column("dls").to_pylist()
+            if not terms:
+                continue
+            d, t, l_ = decode_blocks_batch(firsts, docs, tfs, dls)
+            term_col = np.repeat(
+                np.arange(len(terms), dtype=np.int64),
+                np.asarray(ns, dtype=np.int64),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.DictionaryArray.from_arrays(
+                        pa.array(term_col, pa.int64()).cast(pa.int32()),
+                        pa.array(terms, pa.string()),
+                    ).cast(pa.string()),
+                    pa.array(d, pa.int64()),
+                    pa.array(t, pa.int64()),
+                    pa.array(l_, pa.int64()),
+                ],
+                schema=pa.schema(
+                    [
+                        pa.field("term", pa.string()),
+                        pa.field("docid", pa.int64()),
+                        pa.field("tf", pa.int64()),
+                        pa.field("dl", pa.int64()),
+                    ]
+                ),
+            )
+
+    return seg.blocks.select(
+        "term", "n", "docid_first", "docs", "tfs", "dls"
+    ).mapInArrow(explode_blocks, "term string, docid long, tf long, dl long")

@@ -590,3 +590,76 @@ def test_merge_stores_rejects_overlap_and_config_mismatch(spark, tmp_path):
     save_segments(other, r3)
     with pytest.raises(ValueError, match="config"):
         merge_stores(spark, [r1, r3], check_disjoint=False)
+
+
+def test_merge_stores_doc_target_and_doc_generation(spark, tmp_path):
+    """Cross-LAYOUT merge: one term-layout and one doc-layout generation
+    decode back to postings (no re-tokenize) and rebuild as either target
+    layout — query results equal the single-shot build over everything."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from flagembedding_spark.operators.index_build import CorpusStats
+    from flagembedding_spark.operators.segments import (
+        build_doc_partitioned_segments,
+        merge_stores,
+        postings_from_segments,
+        save_segments,
+    )
+    from flagembedding_spark.schemas import synth_corpus, synth_queries
+
+    corpus = synth_corpus(spark, 200, seed=31).cache()
+    cfg = BM25Config(block_size=16, term_buckets=8)
+    idx_full = build_index(corpus, cfg)
+
+    halves = []
+    for pred in (F.col("docid") < 100, F.col("docid") >= 100):
+        keep = idx_full.doc_stats.filter(pred).select("docid")
+        post = idx_full.postings.join(keep, "docid")
+        srow = (
+            idx_full.doc_stats.join(keep, "docid")
+            .agg(F.count("*").alias("n"), F.avg("dl").alias("a"))
+            .collect()[0]
+        )
+        nn = float(srow["n"])
+        dic = (
+            post.groupBy("term").agg(F.count("*").alias("df"))
+            .withColumn(
+                "idf",
+                F.log((F.lit(nn) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+            )
+        )
+        halves.append(
+            dataclasses.replace(
+                idx_full, postings=post, dictionary=dic,
+                stats=CorpusStats(int(srow["n"]), float(srow["a"])),
+            )
+        )
+
+    r1, r2 = str(tmp_path / "t1"), str(tmp_path / "d2")
+    save_segments(merge_segments(build_segments(halves[0])), r1)       # term
+    save_segments(build_doc_partitioned_segments(halves[1], n_parts=4), r2)  # doc
+
+    qs = synth_queries(spark, 20, seed=9)
+    want = _canon(
+        wand_topk(merge_segments(build_segments(idx_full)), qs, k=10).collect(), 6
+    )
+    for layout in ("term", "doc"):
+        merged = merge_stores(
+            spark, [r1, r2], str(tmp_path / f"m_{layout}"),
+            target_layout=layout,
+        )
+        assert getattr(merged, "layout", "term") == layout
+        got = _canon(wand_topk(merged, qs, k=10).collect(), 6)
+        assert got == want, layout
+
+    # postings decode roundtrip: store → postings == the half's own postings
+    dec = postings_from_segments(
+        merge_segments(build_segments(halves[0]))
+    )
+    a = sorted(map(tuple, dec.collect()))
+    b = sorted(
+        map(tuple, halves[0].postings.select("term", "docid", "tf", "dl").collect())
+    )
+    assert a == b
