@@ -160,21 +160,43 @@ SESSION_STATE_SCHEMA = StructType(
 )
 
 
-def _make_session_fn(gap_s: int):
+def _make_session_fn(gap_s: int, close_idle: bool = False):
     def session_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         """Per-user fold over (ts, event_id)-ordered events. The OPEN
         session lives in state; a session is EMITTED the moment an event
         arrives more than gap_s after it — identical numbering and
         aggregates to the batch operator for every closed session. Assumes
         per-user batches arrive in event-time order across micro-batches
-        (the watermarked-ingest contract); the final open session per user
-        is emitted only by a later batch or never (it isn't final)."""
+        (the watermarked-ingest contract).
+
+        With ``close_idle`` the open session ALSO closes when the event-time
+        watermark passes its last event + gap (state timeout) — no successor
+        event needed; the session counter survives in a tombstone state
+        (start_s = −1) so numbering stays batch-identical if the user
+        returns."""
+        if close_idle and state.hasTimedOut:
+            sid, start_s, last_s, n_ev, sval = state.get
+            if start_s is not None and start_s >= 0:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "session_id": [sid],
+                        "n_events": [n_ev],
+                        "start_s": [start_s],
+                        "end_s": [last_s],
+                        "sum_value": [round(sval, 6)],
+                    }
+                )
+            state.update((sid, -1, -1, 0, 0.0))
+            return
         frames = [p for p in pdfs if len(p)]
         if not frames:
             return
         pdf = pd.concat(frames).sort_values(["sec", "event_id"])
         if state.exists:
             sid, start_s, last_s, n_ev, sval = state.get
+            if start_s is not None and start_s < 0:
+                start_s, last_s = None, None  # tombstone: counter only
         else:
             sid, start_s, last_s, n_ev, sval = 0, None, None, 0, 0.0
         closed = []
@@ -188,6 +210,8 @@ def _make_session_fn(gap_s: int):
             sval += val
             last_s = sec
         state.update((sid, start_s, last_s, n_ev, sval))
+        if close_idle:
+            state.setTimeoutTimestamp((last_s + gap_s) * 1000)
         if closed:
             yield pd.DataFrame(
                 {
@@ -210,24 +234,34 @@ def start_streaming_sessionize(
     output_path: str,
     gap_s: int = 1800,
     available_now: bool = True,
+    close_idle: bool = False,
+    watermark: str = "2 hours",
 ):
     """JSON-dir event stream → gap-based sessions per user via
     applyInPandasWithState keyed by user_id (state shards by key exactly
     like the batch window's partitionBy). Emits CLOSED sessions with the
     SAME schema/semantics as operators/events.sessionize; the open session
-    stays in state until a later event closes it."""
+    stays in state until a later event closes it — or, with ``close_idle``,
+    until the event-time WATERMARK passes its last event + gap (idle
+    sessions finalize without a successor event; late events older than the
+    watermark are dropped by the engine, the usual trade)."""
     src = spark.readStream.schema(EVENT_SCHEMA).json(input_path)
-    keyed = (
-        src.withColumn("sec", F.unix_timestamp("ts"))
-        .select("user_id", "event_id", "sec", "value")
-        .groupBy("user_id")
+    base = src.withColumn("sec", F.unix_timestamp("ts"))
+    if close_idle:
+        base = base.withWatermark("ts", watermark)
+    keyed = base.select("user_id", "event_id", "ts", "sec", "value").groupBy(
+        "user_id"
     )
     sessions = keyed.applyInPandasWithState(
-        _make_session_fn(gap_s),
+        _make_session_fn(gap_s, close_idle),
         outputStructType=SESSION_OUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if close_idle
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     writer = (
         sessions.writeStream.outputMode("append")

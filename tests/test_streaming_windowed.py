@@ -161,3 +161,58 @@ def test_streaming_sessionize_matches_batch_closed_sessions(spark, tmproot):
     }
     assert got == want
     assert len(got) == 3  # u1 ×2 closed, u2 ×1 closed, u3 none
+
+
+def test_streaming_sessionize_close_idle_via_timeout(spark, tmproot):
+    """With close_idle, an idle user's open session finalizes once the
+    watermark passes last_event + gap — no successor event needed — and the
+    session counter survives for later events (batch-identical numbering)."""
+    from flagembedding_spark.operators.events import sessionize
+    from flagembedding_spark.streaming.windowed import (
+        start_streaming_sessionize,
+    )
+
+    w1 = [
+        (0, "2024-01-01 00:00:00", 1, "c", 1.0),
+        (1, "2024-01-01 00:10:00", 1, "c", 2.0),
+        (2, "2024-01-01 00:05:00", 2, "c", 4.0),
+    ]
+    # watermark driver: far-future event for user 3 pushes the watermark
+    # past (u1 last + gap) and (u2 last + gap) → both idle sessions close
+    w2 = [(3, "2024-01-02 12:00:00", 3, "c", 8.0)]
+    # u1 returns AFTER its idle close: numbering must continue at 2
+    w3 = [
+        (4, "2024-01-03 00:00:00", 1, "c", 16.0),
+        (5, "2024-01-04 00:00:00", 4, "c", 1.0),  # watermark driver again
+    ]
+    inp, ck, out = f"{tmproot}/iin", f"{tmproot}/ick", f"{tmproot}/iout"
+    for name, wave in (("w1", w1), ("w2", w2), ("w3", w3)):
+        _write_events(inp, name, wave)
+        q = start_streaming_sessionize(
+            spark, inp, ck, out, close_idle=True, watermark="1 hour"
+        )
+        q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"], r["start_s"], r["end_s"], r["sum_value"]
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    all_events = spark.createDataFrame(
+        w1 + w2 + w3,
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"], r["start_s"], r["end_s"], r["sum_value"]
+        )
+        for r in sessionize(all_events, gap_s=1800).collect()
+    }
+    # u1 session 1 (2 events) and u2 session 1 closed by TIMEOUT; u1
+    # session 2 (the return) closed by the w3 watermark driver eventually —
+    # check what's emitted is exactly a batch-consistent prefix
+    assert (1, 1) in got and got[(1, 1)] == batch[(1, 1)]
+    assert (2, 1) in got and got[(2, 1)] == batch[(2, 1)]
+    for k, v in got.items():
+        assert batch[k] == v, k
