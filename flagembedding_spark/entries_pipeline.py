@@ -2256,3 +2256,54 @@ PIPELINE_ORACLE_SQL.update(
         "m3_ensemble_topk": _m3_ensemble_sql(),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# two-phase WAND through the driver gate: same oracle as bm25_topk_wand —
+# proves the plan-level shuffle prune is top-k-identical against the
+# independent SQL engine, not only against our own exact path
+# ---------------------------------------------------------------------------
+
+def q_bm25_topk_wand_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as _W
+
+    from flagembedding_spark.entries import (
+        B,
+        K1,
+        TOPK,
+        _queries_df,
+        build_doc_index,
+    )
+    from flagembedding_spark.config import BM25Config
+    from flagembedding_spark.operators.segments import (
+        build_segments,
+        merge_segments,
+    )
+    from flagembedding_spark.operators.wand import wand_topk
+
+    cfg = BM25Config(k1=K1, b=B, block_size=64, salt_threshold_df=200,
+                     max_salt=4, term_buckets=16)
+    idx = build_doc_index(spark, sf_dir, cfg)
+    seg = merge_segments(build_segments(idx))
+    raw = wand_topk(
+        seg, _queries_df(spark), k=TOPK + 50, use_wand=True, two_phase=True
+    )
+    w = _W.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 4)), F.asc("docid")
+    )
+    return (
+        raw.withColumn("score", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "docid", "score", "rank")
+    )
+
+
+def _twophase_oracle() -> str:
+    from flagembedding_spark.entries import B, K1, TOPK, bm25_sql
+
+    return bm25_sql(K1, B, TOPK, use_avgdl=True)
+
+
+PIPELINE_ENTRIES["bm25_topk_wand_twophase"] = q_bm25_topk_wand_twophase
+PIPELINE_ORACLE_SQL["bm25_topk_wand_twophase"] = _twophase_oracle()
