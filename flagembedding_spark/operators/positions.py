@@ -78,6 +78,23 @@ def positional_postings_full(
 # dense-index space is bounded by the query terms' posting count.
 _POS_KEY = 1 << 22
 
+
+def check_position_bound(pflat):
+    """Guard the 22-bit position field of the packed (dense_doc, position)
+    intersection key: a document longer than 2^22 (~4.19M) tokens would
+    silently collide into the next dense docid and corrupt phrase/proximity
+    results (ADVICE r03). Vectorized O(n) max check; raises instead of
+    corrupting. Split oversized documents upstream (the reference corpus
+    shards documents far below this bound)."""
+    if pflat.size and int(pflat.max()) >= _POS_KEY:
+        raise ValueError(
+            f"position {int(pflat.max())} >= 2^22: document too long for "
+            "the packed phrase/proximity key — split oversized documents "
+            "before indexing with store_positions"
+        )
+    return pflat
+
+
 PHRASE_RESULT_DDL = "qid string, docid long, n_occ long"
 
 
@@ -181,7 +198,9 @@ def phrase_match_segments(
                     [x[0] for x in g], [x[1] for x in g],
                     [x[2] for x in g], [x[3] for x in g],
                 )
-                pflat = decode_positions(b"".join(x[4] for x in g), t)
+                pflat = check_position_bound(
+                    decode_positions(b"".join(x[4] for x in g), t)
+                )
                 decoded.append((np.repeat(d, t), pflat))
             # dense per-query docid remap: raw ids × 2^22 can overflow int64
             uniq = np.unique(np.concatenate([x[0] for x in decoded]))
@@ -350,7 +369,9 @@ def proximity_match_segments(
                     [x[0] for x in g], [x[1] for x in g],
                     [x[2] for x in g], [x[3] for x in g],
                 )
-                pflat = decode_positions(b"".join(x[4] for x in g), t)
+                pflat = check_position_bound(
+                    decode_positions(b"".join(x[4] for x in g), t)
+                )
                 return np.repeat(d, t), pflat
 
             da_raw, pos_a = decode_role(0)

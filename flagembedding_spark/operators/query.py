@@ -80,20 +80,39 @@ def bm25_topk(
     qid_col: str = "query_id",
     query_col: str = "query",
     round_scores: int | None = None,
+    min_should_match: int | str = 0,
 ) -> DataFrame:
     """Top-k BM25 per query: (qid, docid, score, rank). Deterministic ties.
 
     ``round_scores``: round the summed score to N decimals *before* ranking —
     used by the cross-engine oracle harness so rank order is invariant to
     float summation order between engines.
+
+    ``min_should_match``: Lucene's BooleanQuery knob over the same plan —
+    0 (default) is pure disjunction (the reference's behavior,
+    modeling_bm25.py:218-221 skips missing terms); an int n keeps only docs
+    matching ≥ n DISTINCT query terms; ``'all'`` is conjunctive AND (every
+    query term required — a query containing an out-of-vocabulary term
+    matches nothing, as in Lucene). Zero extra shuffles: the distinct-term
+    match count rides the existing (qid, docid) scatter-add (postings are
+    unique per (term, docid), so count(*) IS the distinct matched terms),
+    and the per-query required count is a broadcast-joined tiny aggregate.
     """
     k = min(k, index.stats.n_docs) if index.stats.n_docs else k
     qt = query_terms(queries, qid_col, query_col)
     scored = (
         bm25_partial_scores(index, qt, k1, b)
         .groupBy("qid", "docid")
-        .agg(F.sum("s").alias("score"))
+        .agg(F.sum("s").alias("score"), F.count("*").alias("nmatched"))
     )
+    if min_should_match == "all":
+        qneed = qt.groupBy("qid").agg(F.count("*").alias("m_req"))
+        scored = scored.join(F.broadcast(qneed), "qid").filter(
+            F.col("nmatched") == F.col("m_req")
+        )
+    elif min_should_match:
+        scored = scored.filter(F.col("nmatched") >= int(min_should_match))
+    scored = scored.select("qid", "docid", "score")
     if round_scores is not None:
         scored = scored.withColumn("score", F.round("score", round_scores))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))

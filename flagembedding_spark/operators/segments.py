@@ -634,9 +634,18 @@ def load_segments(spark: SparkSession, root: str) -> SegmentIndex:
         block_size=meta["block_size"],
         term_buckets=meta["term_buckets"],
     )
+    # explicit schemas: an EMPTY generation (zero blocks — e.g. an
+    # incremental-ingest window with no new docs) writes no parquet part
+    # files under partitionBy, so schema inference would fail; the store
+    # layout is fixed, so read with the declared schema instead
+    blocks = spark.read.schema(BLOCK_SCHEMA_DDL).parquet(f"{root}/blocks")
+    dict_schema = "term string, df long, idf double"
+    if meta.get("layout", "term") == "term":
+        dict_schema += ", bucket int"
+    dictionary = spark.read.schema(dict_schema).parquet(f"{root}/dictionary")
     return SegmentIndex(
-        blocks=spark.read.parquet(f"{root}/blocks"),
-        dictionary=spark.read.parquet(f"{root}/dictionary"),
+        blocks=blocks,
+        dictionary=dictionary,
         stats=CorpusStats(n_docs=meta["n_docs"], avgdl=meta["avgdl"]),
         config=cfg,
         layout=meta.get("layout", "term"),
@@ -703,6 +712,10 @@ def merge_stores(
                 F.min("docid_first").alias("lo"), F.max("docid_last").alias("hi")
             ).collect()[0]
             ranges.append((row["lo"], row["hi"], r))
+        # an EMPTY generation (zero blocks) aggregates to lo/hi = None —
+        # it can't overlap anything, and None is unorderable vs int, so it
+        # must be dropped before the sort (ADVICE r03)
+        ranges = [t for t in ranges if t[0] is not None]
         ranges.sort()
         for (lo1, hi1, r1), (lo2, hi2, r2) in zip(ranges, ranges[1:]):
             if lo2 is not None and hi1 is not None and lo2 <= hi1:
@@ -734,9 +747,27 @@ def merge_stores(
     )
     stats = CorpusStats(n_docs=n, avgdl=avgdl)
     if decode_path:
-        post = postings_from_segments(segs[0])
+        # positions survive the decode path when EVERY generation stored
+        # them (poss streams are decoded and re-encoded into the rebuilt
+        # blocks); with a mixed set they cannot be carried for the
+        # position-less generations — warn instead of dropping silently
+        # (ADVICE r03).
+        pos_flags = [s.has_positions for s in segs]
+        carry_pos = all(pos_flags)
+        if any(pos_flags) and not carry_pos:
+            import warnings
+
+            warnings.warn(
+                "merge_stores: only some generations store positions — the "
+                "merged store is built WITHOUT poss streams (phrase/"
+                "proximity queries need a rebuild with store_positions)",
+                stacklevel=2,
+            )
+        post = postings_from_segments(segs[0], with_positions=carry_pos)
         for s in segs[1:]:
-            post = post.unionByName(postings_from_segments(s))
+            post = post.unionByName(
+                postings_from_segments(s, with_positions=carry_pos)
+            )
         doc_stats = post.groupBy("docid").agg(
             F.first("dl").alias("dl")
         ).select(
@@ -748,9 +779,13 @@ def merge_stores(
             stats=stats, config=cfg0,
         )
         if target_layout == "doc":
-            merged = build_doc_partitioned_segments(logical)
+            merged = build_doc_partitioned_segments(
+                logical, store_positions=carry_pos
+            )
         else:
-            merged = merge_segments(build_segments(logical))
+            merged = merge_segments(
+                build_segments(logical, store_positions=carry_pos)
+            )
     else:
         merged = merge_segments(
             SegmentIndex(
@@ -767,13 +802,26 @@ def merge_stores(
     return merged
 
 
-def postings_from_segments(seg: SegmentIndex) -> DataFrame:
+def postings_from_segments(
+    seg: SegmentIndex, with_positions: bool = False
+) -> DataFrame:
     """Decode a segment store back into the logical postings DataFrame
     (term, docid, tf, dl) — the inverse of the block writer, as a
     mapInArrow kernel (one batched varint pass per block group). Lets any
     store — either layout — feed a rebuild (layout conversion, config
     change, cross-layout generation merge) without re-tokenizing the
-    corpus."""
+    corpus.
+
+    ``with_positions`` additionally decodes each block's ``poss`` stream
+    into a ``positions`` array<long> column (per-posting ascending
+    positions, length == tf) so a positional store survives a decode-path
+    rebuild (ADVICE r03: the decode path used to drop positions silently).
+    Requires ``seg.has_positions``."""
+    if with_positions and not seg.has_positions:
+        raise ValueError(
+            "with_positions=True but the store was built without "
+            "store_positions — no poss streams to decode"
+        )
 
     def explode_blocks(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -790,26 +838,54 @@ def postings_from_segments(seg: SegmentIndex) -> DataFrame:
                 np.arange(len(terms), dtype=np.int64),
                 np.asarray(ns, dtype=np.int64),
             )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.DictionaryArray.from_arrays(
-                        pa.array(term_col, pa.int64()).cast(pa.int32()),
-                        pa.array(terms, pa.string()),
-                    ).cast(pa.string()),
-                    pa.array(d, pa.int64()),
-                    pa.array(t, pa.int64()),
-                    pa.array(l_, pa.int64()),
-                ],
-                schema=pa.schema(
-                    [
-                        pa.field("term", pa.string()),
-                        pa.field("docid", pa.int64()),
-                        pa.field("tf", pa.int64()),
-                        pa.field("dl", pa.int64()),
-                    ]
-                ),
-            )
+            arrays = [
+                pa.DictionaryArray.from_arrays(
+                    pa.array(term_col, pa.int64()).cast(pa.int32()),
+                    pa.array(terms, pa.string()),
+                ).cast(pa.string()),
+                pa.array(d, pa.int64()),
+                pa.array(t, pa.int64()),
+                pa.array(l_, pa.int64()),
+            ]
+            fields = [
+                pa.field("term", pa.string()),
+                pa.field("docid", pa.int64()),
+                pa.field("tf", pa.int64()),
+                pa.field("dl", pa.int64()),
+            ]
+            if with_positions:
+                # per-block poss decode, blocks concatenated in batch order —
+                # the same order decode_blocks_batch emits postings
+                poss = batch.column("poss").to_pylist()
+                counts_all = t.astype(np.int64)
+                flat_parts: list[np.ndarray] = []
+                off = 0
+                for i, p in enumerate(poss):
+                    nb = int(ns[i])
+                    c = counts_all[off : off + nb]
+                    flat_parts.append(decode_positions(p, c))
+                    off += nb
+                flat = (
+                    np.concatenate(flat_parts)
+                    if flat_parts
+                    else np.empty(0, dtype=np.int64)
+                )
+                offsets = np.zeros(counts_all.size + 1, dtype=np.int64)
+                np.cumsum(counts_all, out=offsets[1:])
+                arrays.append(
+                    pa.ListArray.from_arrays(
+                        pa.array(offsets, pa.int32()),
+                        pa.array(flat, pa.int64()),
+                    )
+                )
+                fields.append(
+                    pa.field("positions", pa.list_(pa.int64()))
+                )
+            yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 
-    return seg.blocks.select(
-        "term", "n", "docid_first", "docs", "tfs", "dls"
-    ).mapInArrow(explode_blocks, "term string, docid long, tf long, dl long")
+    ddl = "term string, docid long, tf long, dl long"
+    cols = ["term", "n", "docid_first", "docs", "tfs", "dls"]
+    if with_positions:
+        ddl += ", positions array<long>"
+        cols.append("poss")
+    return seg.blocks.select(*cols).mapInArrow(explode_blocks, ddl)

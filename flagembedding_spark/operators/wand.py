@@ -21,6 +21,7 @@ SURVEY §2.5 / §4).
 from __future__ import annotations
 
 import heapq
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -376,6 +377,26 @@ def _exact_query(qid: str, term_blocks: dict, k: int):
     return _topk_rows(qid, uniq, acc, k)
 
 
+# single-slot cache for the two-phase candidate set: _two_phase_prune
+# persists its input so the metadata agg and the scoring job scan the
+# term-pruned blocks once, not twice. The SCORING job is lazy — the caller
+# triggers it after wand_topk returns — so the persist cannot be released
+# inside this module at the right moment. Instead each new two-phase call
+# evicts the PREVIOUS call's cached set (by then its scoring job has run in
+# any sequential usage), bounding accumulation to one cached DataFrame per
+# session (ADVICE r03: repeated calls used to accumulate cached partitions
+# until LRU pressure). release_two_phase_cache() frees the last one.
+_TP_CACHE: list[DataFrame] = []
+
+
+def release_two_phase_cache() -> None:
+    """Unpersist the candidate-block set cached by the most recent
+    wand_topk(two_phase=True) plan. Call after the query results have been
+    consumed (e.g. between benchmark phases or at session teardown)."""
+    while _TP_CACHE:
+        _TP_CACHE.pop().unpersist()
+
+
 def _two_phase_prune(
     cand: DataFrame,
     k1: float,
@@ -384,6 +405,7 @@ def _two_phase_prune(
     k: int,
     n_part: int,
     max_ranges_per_query: int = 512,
+    block_size: int = 128,
 ) -> DataFrame:
     """PLAN-LEVEL shuffle pruning (two-phase fetch): drop non-essential
     terms' blocks BEFORE the per-query repartition, so hot (stopword) terms'
@@ -421,27 +443,88 @@ def _two_phase_prune(
 
     The candidate set is persisted (MEMORY_AND_DISK) so the metadata agg
     and the final scoring job scan the term-pruned blocks once, not twice —
-    measured ~25% off the two-phase overhead; the set is bounded by the
-    query terms' block volume and evicted LRU."""
+    measured ~25% off the two-phase overhead; exactly ONE candidate set
+    stays cached per session (see _TP_CACHE / release_two_phase_cache).
+
+    SCALE — bounded aggregation state (VERDICT r03 ask #3): the r03 version
+    collect_list'ed EVERY block's range per (qid, term) before slicing —
+    unbounded state for a stopword term at 10^6+ blocks. Phase 1 now
+    pre-coarsens blocks into docid CELLS of width 64·block_size before any
+    list aggregation:
+
+    * cell agg (qid, term, cell): min/max range, count, and the cell's
+      top-k block max_tfn. A term's blocks are docid-disjoint and each
+      spans ≥ block_size docids, so a cell holds ≤ ~65 blocks per bucket
+      by construction — the collect_list state is bounded by geometry, not
+      by blocks-per-term.
+    * two row_number windows over (qid, term) rank cells by cell-max and
+      by lo; the term-level agg then collect_lists ONLY rows ranked ≤ k
+      (resp. ≤ cap+1) — ≤ k arrays of ≤ k floats + cap+1 structs of state
+      per group, regardless of term size.
+
+    θ is unchanged: the global top-k block maxima all lie in the union of
+    the top-k cells' per-cell top-k lists (a block outside it is beaten by
+    ≥ k distinct blocks), so the kth value — and every prune decision — is
+    identical to the uncoarsened version. Essential-term intervals use the
+    per-cell [lo, hi] coarsening — a superset covering, so the overlap
+    filter keeps a superset of the uncoarsened keep-set: safe. Terms whose
+    CELL count exceeds the cap skip pruning (ship all), as before — but
+    since cells ≤ blocks, pruning now applies to more shapes."""
+    from pyspark.sql.window import Window
+
+    release_two_phase_cache()
     cand = cand.persist()
+    _TP_CACHE.append(cand)
     spark = cand.sparkSession
 
     cap = max_ranges_per_query
-    stats = (
-        cand.groupBy("qid", "term")
+    cell_width = max(int(block_size), 1) * 64
+    cells = (
+        cand.groupBy(
+            "qid",
+            "term",
+            F.floor(F.col("docid_first") / cell_width).alias("cell"),
+        )
         .agg(
-            F.max(F.col("w") * F.col("max_tfn")).alias("ub"),
+            F.min("docid_first").alias("lo"),
+            F.max("docid_last").alias("hi"),
             F.count("*").alias("nb"),
             F.slice(
                 F.reverse(F.array_sort(F.collect_list("max_tfn"))), 1, k
-            ).alias("topmax"),
-            F.element_at(F.collect_list("w"), 1).alias("w"),
+            ).alias("ctop"),
+            F.first("w").alias("w"),
+        )
+        .withColumn("cmax", F.element_at("ctop", 1))
+    )
+    wkey = Window.partitionBy("qid", "term")
+    cells = cells.withColumn(
+        "rmax",
+        F.row_number().over(wkey.orderBy(F.desc("cmax"), F.asc("lo"))),
+    ).withColumn("rlo", F.row_number().over(wkey.orderBy(F.asc("lo"))))
+    stats = (
+        cells.groupBy("qid", "term")
+        .agg(
+            F.max(F.col("w") * F.col("cmax")).alias("ub"),
+            F.sum("nb").alias("nb"),
+            F.count("*").alias("ncells"),
+            F.first("w").alias("w"),
             F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct("docid_first", "docid_last"))
+                F.reverse(
+                    F.array_sort(
+                        F.flatten(
+                            F.collect_list(
+                                F.when(F.col("rmax") <= k, F.col("ctop"))
+                            )
+                        )
+                    )
                 ),
                 1,
-                cap + 1,
+                k,
+            ).alias("topmax"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("rlo") <= cap + 1, F.struct("lo", "hi"))
+                )
             ).alias("ranges"),
         )
         .collect()
@@ -455,7 +538,7 @@ def _two_phase_prune(
         if len(ts) <= 1:
             continue
         strongest = max(ts, key=lambda r: r["ub"])
-        if strongest["nb"] < k:
+        if len(strongest["topmax"]) < k:
             continue  # θ bound unavailable → unprunable (see docstring)
         theta = float(strongest["w"]) * float(strongest["topmax"][k - 1])
         if theta <= 0.0:
@@ -470,12 +553,12 @@ def _two_phase_prune(
                 break
         if not q_ne:
             continue
-        # merged intervals over the ESSENTIAL terms' block ranges
+        # merged intervals over the ESSENTIAL terms' cell-coarsened ranges
         ess = [r for r in ts if r["term"] not in set(q_ne)]
-        if any(r["nb"] > cap for r in ess):
+        if any(r["ncells"] > cap for r in ess):
             continue  # ranges truncated → can't prove safety; ship all
         rs = sorted(
-            (int(x["docid_first"]), int(x["docid_last"]))
+            (int(x["lo"]), int(x["hi"]))
             for r in ess
             for x in r["ranges"]
         )
@@ -506,6 +589,47 @@ def _two_phase_prune(
     return ess_rows.unionByName(kept_ne.select(*ess_rows.columns))
 
 
+def _two_phase_auto_decide(
+    qt_stats: list,
+    k: int,
+    block_size: int,
+    threshold_bytes: int,
+) -> bool:
+    """Cheap dictionary-only predictor of whether the two-phase prune's
+    fixed cost (one extra metadata job + a persist, ~1 s) will be repaid by
+    shuffle savings (VERDICT r03 ask #4). No block scan: per query, mimic
+    the essential split with ub ≈ w (max_tfn ceiling assumed uniform) and
+    θ ≈ 0.5·w_strongest, then sum the NON-ESSENTIAL terms' posting counts
+    (df) — the volume the prune could keep off the shuffle. Engage only
+    when the estimated prunable bytes (≈4 B/posting across the varint
+    streams) exceed ``threshold_bytes``. At sandbox scale (≤ a few M
+    postings) this predicts OFF — matching the measured wall-time loss of
+    always-on two-phase on in-memory-local shuffles; at cluster scale hot
+    terms carry GB–TB of postings and it engages. Mispredictions only cost
+    performance, never correctness (the real prune re-verifies safety from
+    true block metadata)."""
+    by_q: dict[str, list] = {}
+    for qid, term, w, df in qt_stats:
+        by_q.setdefault(qid, []).append((w, df))
+    prunable_postings = 0
+    for ts in by_q.values():
+        if len(ts) <= 1:
+            continue
+        ts = sorted(ts)
+        w_strong, df_strong = ts[-1]
+        if (df_strong + block_size - 1) // block_size < k:
+            continue  # θ likely unavailable (too few blocks)
+        theta_est = 0.5 * w_strong
+        acc = 0.0
+        for w, df in ts[:-1]:
+            if acc + w < theta_est:
+                acc += w
+                prunable_postings += df
+            else:
+                break
+    return prunable_postings * 4 > threshold_bytes
+
+
 def candidate_block_plan(
     seg: SegmentIndex,
     queries: DataFrame,
@@ -513,7 +637,7 @@ def candidate_block_plan(
     qid_col: str = "query_id",
     query_col: str = "query",
     num_partitions: int | None = None,
-    two_phase: bool = False,
+    two_phase: bool | str = False,
 ):
     """The pre-shuffle block plan shared by wand_topk (and measurable on its
     own — bench counts its rows to record shuffle-block reduction):
@@ -530,7 +654,28 @@ def candidate_block_plan(
     # IN() into the block scan (parquet row-group + dictionary-page skipping)
     # and prune bucket partitions (the persisted layout is partitionBy(bucket),
     # so whole directories are skipped). O(#query-terms) driver work only.
-    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    # In 'auto' mode the SAME collect also carries the dictionary's df/idf
+    # stats the engage heuristic needs — one job either way, no extra pass
+    # (an OOV term has no blocks, so dropping it from the IN() is harmless).
+    qt_stats: list | None = None
+    if two_phase == "auto":
+        rows = (
+            seg.dictionary.join(F.broadcast(qt), "term")
+            .select("qid", "term", "qtf", "idf", "df")
+            .collect()
+        )
+        qt_stats = [
+            (
+                r["qid"],
+                r["term"],
+                float(r["qtf"]) * float(r["idf"]) * (k1 + 1.0),
+                int(r["df"]),
+            )
+            for r in rows
+        ]
+        terms = sorted({r["term"] for r in rows})
+    else:
+        terms = [r["term"] for r in qt.select("term").distinct().collect()]
     blocks = seg.blocks
     doc_layout = getattr(seg, "layout", "term") == "doc"
     if 0 < len(terms) <= 10_000:
@@ -561,11 +706,22 @@ def candidate_block_plan(
     n_part = num_partitions or min(
         max(spark.sparkContext.defaultParallelism, 4), 64
     )
+    if two_phase == "auto":
+        # decide from the dictionary stats already collected above —
+        # no block scan, no extra job
+        thresh = int(
+            os.environ.get("FES_TWOPHASE_AUTO_BYTES", str(256 << 20))
+        )
+        two_phase = _two_phase_auto_decide(
+            qt_stats or [], k, cfg.block_size, thresh
+        )
     if two_phase:
         # plan-level prune BEFORE the big repartition: hot non-essential
         # terms' blocks that can't intersect any candidate never ride the
         # shuffle (applies to either layout; identity-tested)
-        cand = _two_phase_prune(cand, k1, b, avgdl, k, n_part)
+        cand = _two_phase_prune(
+            cand, k1, b, avgdl, k, n_part, block_size=cfg.block_size
+        )
     return cand, n_part, doc_layout
 
 
@@ -577,7 +733,7 @@ def wand_topk(
     qid_col: str = "query_id",
     query_col: str = "query",
     num_partitions: int | None = None,
-    two_phase: bool = False,
+    two_phase: bool | str = False,
 ) -> DataFrame:
     """Top-k BM25 over the merged segment index.
 
@@ -595,7 +751,11 @@ def wand_topk(
 
     ``two_phase`` enables the plan-level shuffle prune (_two_phase_prune):
     identical top-k, fewer block bytes through the big repartition — wins
-    when queries mix rare terms with hot ones."""
+    when queries mix rare terms with hot ones. ``'auto'`` engages it only
+    when the dictionary-stats heuristic predicts the prunable shuffle
+    volume repays the extra metadata job (threshold via
+    FES_TWOPHASE_AUTO_BYTES, default 256 MB) — off at sandbox scale, on
+    for cluster-scale hot-term volumes."""
     cfg = seg.config
     k1, b = cfg.k1, cfg.b
     avgdl = seg.avgdl_effective

@@ -170,10 +170,15 @@ class SegmentReader:
             )
             for t, e in term_blocks.items()
         }
-        # fan out only when the decode volume amortizes thread overhead —
-        # after the varint fast path a hot term decodes at ~0.15 s per
-        # million postings, so small stores are faster single-threaded
-        big = sum(len(e[4]) for e in packed.values()) >= 32_768
+        # fan out only when the decode volume amortizes thread overhead.
+        # Post-decode-overhaul retune (VERDICT r03 ask #5): interleaved
+        # median timings at 17k–69k blocks show single-thread and pooled
+        # within noise of each other (the linear varint kernel is memory-
+        # bandwidth-bound, not compute-bound, at these sizes), so the old
+        # 32k gate engaged the pool for no gain. Engage only when the
+        # query's decode volume is multi-second (≳16M postings), where
+        # per-job overhead is trivially amortized.
+        big = sum(len(e[4]) for e in packed.values()) >= 131_072
         if self._pool is not None and big and mode in ("auto", "exact"):
             # same per-query pick as wand._auto_query (UB spread), but the
             # exact branch — the head-query hot path — goes multi-threaded
@@ -200,6 +205,9 @@ class SegmentReader:
     def _term_positions(self, terms: list[str]):
         """→ {term: (docids repeated per posting, flat positions)} decoded
         from the poss streams of the given terms' blocks."""
+        from flagembedding_spark.operators.positions import (
+            check_position_bound,
+        )
         from flagembedding_spark.operators.segments import (
             decode_blocks_batch,
             decode_positions,
@@ -232,7 +240,9 @@ class SegmentReader:
                 [x[0] for x in blks], [x[1] for x in blks],
                 [x[2] for x in blks], [x[3] for x in blks],
             )
-            pflat = decode_positions(b"".join(x[4] for x in blks), tf)
+            pflat = check_position_bound(
+                decode_positions(b"".join(x[4] for x in blks), tf)
+            )
             out[t] = (np.repeat(d, tf), pflat)
         return out
 

@@ -451,3 +451,130 @@ def test_positional_kernels_with_lineage_scale_docids(spark, tmp_path):
         for r in proximity_match_batch(pos, [("x", "hash", "merge", 4)]).collect()
     )
     assert rd.proximity("hash", "merge", 4) == wantp
+
+
+# ---------------------------------------------------------------------------
+# round 4: positions survive the merge_stores decode path; key-width guard
+# ---------------------------------------------------------------------------
+
+def test_merge_stores_decode_path_carries_positions(spark, tmp_path):
+    """ADVICE r03: target_layout='doc' (the decode path) used to DROP poss
+    streams silently. Two positional generations merged to the doc layout
+    must answer phrase queries identically to the single-shot positional
+    store."""
+    from flagembedding_spark.operators.segments import (
+        merge_stores,
+        save_segments,
+    )
+
+    rows = [
+        (0, "a b c a b"),
+        (1, "b c d"),
+        (2, "a b a b a b"),
+        (3, "x y z a b"),
+        (4, "c a b c"),
+        (5, "q r s"),
+    ]
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    full_idx = index_from_postings(positional_postings_full(docs_df), CFG)
+    full_seg = merge_segments(build_segments(full_idx, store_positions=True))
+    want = sorted(
+        map(tuple, phrase_match_segments(full_seg, [("p", "a b")]).collect())
+    )
+
+    import dataclasses
+
+    from flagembedding_spark.operators.index_build import CorpusStats
+
+    halves = []
+    for pred in (F.col("docid") < 3, F.col("docid") >= 3):
+        post = full_idx.postings.filter(pred)
+        srow = (
+            post.select("docid", "dl").distinct()
+            .agg(F.count("*").alias("n"), F.avg("dl").alias("a"))
+            .collect()[0]
+        )
+        nn = float(srow["n"])
+        dic = (
+            post.groupBy("term").agg(F.count("*").alias("df"))
+            .withColumn(
+                "idf",
+                F.log((F.lit(nn) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+            )
+        )
+        half = dataclasses.replace(
+            full_idx, postings=post, dictionary=dic,
+            stats=CorpusStats(int(srow["n"]), float(srow["a"])),
+        )
+        halves.append(merge_segments(build_segments(half, store_positions=True)))
+
+    r1, r2 = str(tmp_path / "g1"), str(tmp_path / "g2")
+    save_segments(halves[0], r1)
+    save_segments(halves[1], r2)
+    for layout in ("doc", "term"):
+        merged = merge_stores(
+            spark, [r1, r2], str(tmp_path / f"m_{layout}"),
+            target_layout="doc",
+        )
+        assert merged.has_positions
+        got = sorted(
+            map(tuple, phrase_match_segments(merged, [("p", "a b")]).collect())
+        )
+        assert got == want, layout
+
+
+def test_merge_stores_mixed_positions_warns(spark, tmp_path):
+    """One generation positional, one not → decode-path merge warns and
+    builds WITHOUT positions (never silently half-carries them)."""
+    import warnings as _w
+
+    from flagembedding_spark.operators.segments import (
+        merge_stores,
+        save_segments,
+    )
+
+    d1 = spark.createDataFrame([(0, "a b c"), (1, "b c a")], "doc_id long, text string")
+    d2 = spark.createDataFrame([(10, "c d e"), (11, "d e c")], "doc_id long, text string")
+    i1 = index_from_postings(positional_postings_full(d1), CFG)
+    i2 = index_from_postings(positional_postings_full(d2), CFG)
+    s1 = merge_segments(build_segments(i1, store_positions=True))
+    s2 = build_doc_partitioned_segments(i2, n_parts=2)  # no positions
+    r1, r2 = str(tmp_path / "p1"), str(tmp_path / "p2")
+    save_segments(s1, r1)
+    save_segments(s2, r2)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        merged = merge_stores(spark, [r1, r2], target_layout="term")
+    assert not merged.has_positions
+    assert any("positions" in str(x.message) for x in rec)
+
+
+def test_position_key_width_guard():
+    """ADVICE r03: positions ≥ 2^22 would silently corrupt the packed
+    intersection key — the guard must raise instead."""
+    from flagembedding_spark.operators.positions import (
+        _POS_KEY,
+        check_position_bound,
+    )
+
+    ok = np.array([0, 5, _POS_KEY - 1], dtype=np.int64)
+    assert check_position_bound(ok) is ok
+    assert check_position_bound(np.empty(0, dtype=np.int64)).size == 0
+    with pytest.raises(ValueError, match="2\\^22"):
+        check_position_bound(np.array([3, _POS_KEY], dtype=np.int64))
+
+
+def test_postings_from_segments_with_positions_roundtrip(docs, pos_seg):
+    """postings_from_segments(with_positions=True) must reproduce the exact
+    per-posting position lists the DataFrame operator computes."""
+    from flagembedding_spark.operators.segments import postings_from_segments
+
+    want = {
+        (r["term"], int(r["docid"])): tuple(r["positions"])
+        for r in positional_postings(docs).collect()
+    }
+    got = {
+        (r["term"], int(r["docid"])): tuple(r["positions"])
+        for r in postings_from_segments(pos_seg, with_positions=True).collect()
+    }
+    assert got == want

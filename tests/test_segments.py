@@ -663,3 +663,139 @@ def test_merge_stores_doc_target_and_doc_generation(spark, tmp_path):
         map(tuple, halves[0].postings.select("term", "docid", "tf", "dl").collect())
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# round 4: bounded two-phase state, auto-engage, cache slot, empty-gen merge
+# ---------------------------------------------------------------------------
+
+def test_two_phase_bounded_state_many_blocks_per_term(spark):
+    """Essential (rare) term with MORE BLOCKS THAN THE RANGE CAP: the r03
+    implementation skipped pruning whenever an essential term's block count
+    exceeded the 512-range cap (and built unbounded collect_list state to
+    find out). The cell-coarsened phase 1 keeps state bounded by geometry
+    and prunes this shape: 625 rare blocks collapse to ~20 cells ≤ cap.
+    Top-k must stay identical AND pruning must actually engage."""
+    from flagembedding_spark.operators.wand import candidate_block_plan
+
+    n_docs, lo, hi = 12_000, 3_000, 8_000
+    stop = "def self ( ) = { } : if for class return"
+    rows = [
+        (i, stop + (" rare_x rare_x" if lo <= i < hi else "") + f" tok{i % 7}")
+        for i in range(n_docs)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = BM25Config(block_size=8, term_buckets=8)  # 5000/8 = 625 rare blocks
+    idx = build_index(
+        corpus, cfg, content_col="text", docid_long="doc_id", method="sql"
+    )
+    seg = merge_segments(build_segments(idx))
+    seg.blocks = seg.blocks.cache()
+    qs = spark.createDataFrame(
+        [("bq0", "rare_x " + stop)], "query_id string, query string"
+    )
+    base = _canon(wand_topk(seg, qs, k=5, use_wand="exact").collect(), 6)
+    two = _canon(
+        wand_topk(seg, qs, k=5, use_wand="auto", two_phase=True).collect(), 6
+    )
+    assert two == base
+    n_all = candidate_block_plan(seg, qs, k=5)[0].count()
+    n_two = candidate_block_plan(seg, qs, k=5, two_phase=True)[0].count()
+    assert n_two < n_all * 0.8, (n_two, n_all)
+
+
+def test_two_phase_cache_single_slot(spark):
+    """Repeated two-phase calls must hold at most ONE persisted candidate
+    set (ADVICE r03: unbounded cache accumulation), and
+    release_two_phase_cache frees it."""
+    from flagembedding_spark.operators import wand as wand_mod
+
+    corpus = _clustered_rare_corpus(spark)
+    cfg = BM25Config(block_size=64, term_buckets=8)
+    idx = build_index(
+        corpus, cfg, content_col="text", docid_long="doc_id", method="sql"
+    )
+    seg = merge_segments(build_segments(idx))
+    seg.blocks = seg.blocks.cache()
+    qs = spark.createDataFrame(
+        [("cq0", "rare_x def self ( ) = { } : if for class return")],
+        "query_id string, query string",
+    )
+    wand_mod.release_two_phase_cache()
+    for _ in range(3):
+        wand_topk(seg, qs, k=5, two_phase=True).count()
+        assert len(wand_mod._TP_CACHE) <= 1
+    wand_mod.release_two_phase_cache()
+    assert not wand_mod._TP_CACHE
+
+
+def test_two_phase_auto_decide_heuristic():
+    """Unit: the dictionary-stats predictor engages on cluster-scale hot
+    terms and stays off at sandbox scale."""
+    from flagembedding_spark.operators.wand import _two_phase_auto_decide
+
+    k, bs, thresh = 10, 128, 256 << 20
+    # sandbox scale: hot terms ~100k postings → a few MB prunable → off
+    small = [("q0", "rare", 8.0, 2_000)] + [
+        ("q0", f"hot{i}", 0.2, 100_000) for i in range(10)
+    ]
+    assert _two_phase_auto_decide(small, k, bs, thresh) is False
+    # cluster scale: hot terms ~10^9 postings → GBs prunable → on
+    big = [("q0", "rare", 8.0, 2_000_000)] + [
+        ("q0", f"hot{i}", 0.2, 1_000_000_000) for i in range(10)
+    ]
+    assert _two_phase_auto_decide(big, k, bs, thresh) is True
+    # single-term and θ-unavailable queries never engage
+    assert _two_phase_auto_decide([("q0", "only", 5.0, 10**9)], k, bs, thresh) is False
+    assert (
+        _two_phase_auto_decide(
+            [("q0", "rare", 8.0, 50), ("q0", "hot", 0.2, 10**9)], k, bs, thresh
+        )
+        is False
+    )
+
+
+def test_two_phase_auto_mode_identity(spark):
+    """two_phase='auto' through the public API: identical top-k (at sandbox
+    scale it predicts OFF, so it must match exact and 'on' alike)."""
+    corpus = _clustered_rare_corpus(spark)
+    cfg = BM25Config(block_size=64, term_buckets=8)
+    idx = build_index(
+        corpus, cfg, content_col="text", docid_long="doc_id", method="sql"
+    )
+    seg = merge_segments(build_segments(idx))
+    seg.blocks = seg.blocks.cache()
+    qs = spark.createDataFrame(
+        [("aq0", "rare_x def self ( ) = { } : if for class return"),
+         ("aq1", "zz_nope")],
+        "query_id string, query string",
+    )
+    base = _canon(wand_topk(seg, qs, k=5, use_wand="exact").collect(), 6)
+    auto = _canon(
+        wand_topk(seg, qs, k=5, use_wand="auto", two_phase="auto").collect(), 6
+    )
+    assert auto == base
+
+
+def test_merge_stores_empty_generation_disjoint_check(spark, tmp_path):
+    """An EMPTY generation (zero blocks → None docid range) must not crash
+    the disjointness check (ADVICE r03: None vs int TypeError in sort)."""
+    from flagembedding_spark.operators.segments import (
+        merge_stores,
+        save_segments,
+    )
+    from flagembedding_spark.schemas import synth_corpus
+
+    corpus = synth_corpus(spark, 60, seed=3).cache()
+    cfg = BM25Config(block_size=16, term_buckets=8)
+    full = merge_segments(build_segments(build_index(corpus, cfg)))
+    empty_idx = build_index(
+        spark.createDataFrame([], "doc_id long, text string"),
+        cfg, content_col="text", docid_long="doc_id", method="sql",
+    )
+    empty_seg = merge_segments(build_segments(empty_idx))
+    r1, r2 = str(tmp_path / "full"), str(tmp_path / "empty")
+    save_segments(full, r1)
+    save_segments(empty_seg, r2)
+    merged = merge_stores(spark, [r1, r2], check_disjoint=True)
+    assert merged.stats.n_docs == full.stats.n_docs

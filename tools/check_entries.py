@@ -81,6 +81,21 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     queries, oracles = e.queries(), e.oracle_sql()
+
+    # Registry-order contract (VERDICT r03 ask #1): the driver verifies only
+    # the first DRIVER_WINDOW keys; assert nothing outside STABLE_TAIL was
+    # displaced past the window, and show the window so drift is visible.
+    from flagembedding_spark.registry_order import DRIVER_WINDOW, check_window
+
+    keys = list(queries)
+    violations = check_window(keys)
+    in_window = keys[:DRIVER_WINDOW]
+    print(f"driver window (first {DRIVER_WINDOW} of {len(keys)}): {in_window}")
+    print(f"outside window (stable tail): {keys[DRIVER_WINDOW:]}")
+    if violations:
+        print(f"FAIL registry-order: non-tail entries outside window: {violations}")
+        return 1
+
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
