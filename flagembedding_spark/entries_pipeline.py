@@ -2307,3 +2307,259 @@ def _twophase_oracle() -> str:
 
 PIPELINE_ENTRIES["bm25_topk_wand_twophase"] = q_bm25_topk_wand_twophase
 PIPELINE_ORACLE_SQL["bm25_topk_wand_twophase"] = _twophase_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 4: Boolean retrieval, live deletes, snippets, PRF expansion
+# ---------------------------------------------------------------------------
+
+
+def q_bm25_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene BooleanQuery AND over the same plan: only docs matching EVERY
+    query term score; a query with an OOV term matches nothing (as in
+    Lucene). Zero extra shuffles — the distinct-match count rides the
+    scatter-add (operators/query.py min_should_match)."""
+    idx = build_doc_index(spark, sf_dir)
+    return bm25_topk(
+        idx, _queries_df(spark), k=TOPK, round_scores=4,
+        min_should_match="all",
+    )
+
+
+def _conjunctive_oracle() -> str:
+    from flagembedding_spark.entries import _BASE_CTES, _qterm_ctes
+
+    return f"""
+WITH {_BASE_CTES.strip()},
+{_qterm_ctes().strip()},
+scored AS (
+  SELECT q.qid AS qid, t.doc_id AS docid,
+         sum(q.qtf
+             * ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * ({K1} + 1.0) * t.tf
+             / (t.tf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl))) AS score,
+         count(*) AS nmatched
+  FROM tf t
+  JOIN df d USING (term)
+  JOIN qterms q USING (term)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY q.qid, t.doc_id
+),
+qneed AS (SELECT qid, count(*) AS m FROM qterms GROUP BY qid),
+ranked AS (
+  SELECT sc.qid, sc.docid, round(sc.score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY sc.qid
+                ORDER BY round(sc.score, 4) DESC, sc.docid ASC) AS INT) AS rank
+  FROM scored sc JOIN qneed n USING (qid)
+  WHERE sc.nmatched = n.m
+)
+SELECT qid, docid, score, rank FROM ranked WHERE rank <= {TOPK}
+ORDER BY qid, rank
+"""
+
+
+DELETE_MOD = 7  # deterministic tombstone rule: doc_id % 7 == 3 is deleted
+
+
+def q_bm25_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with LIVE TOMBSTONES (operators/deletes.py — Lucene live-docs
+    semantics): deleted docs (doc_id % 7 == 3) vanish from results while
+    surviving docs keep the index's STALE full-corpus df/avgdl scores, as
+    a Lucene index answers queries between a delete and expungeDeletes."""
+    idx = build_doc_index(spark, sf_dir)
+    dead = _docs(spark, sf_dir).filter(
+        F.col("doc_id") % DELETE_MOD == 3
+    ).select(F.col("doc_id").alias("docid"))
+    return bm25_topk(
+        idx, _queries_df(spark), k=TOPK, round_scores=4,
+        exclude_docids=dead,
+    )
+
+
+def _deleted_oracle() -> str:
+    from flagembedding_spark.entries import (
+        _BASE_CTES,
+        _qterm_ctes,
+        _scored_sql,
+    )
+
+    # stats/df/idf computed over the FULL corpus (stale, Lucene semantics);
+    # only the candidate rows drop the tombstoned docs
+    return f"""
+WITH {_BASE_CTES.strip()},
+{_qterm_ctes().strip()},
+{_scored_sql(K1, B, True).strip()},
+ranked AS (
+  SELECT qid, docid, round(score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY round(score, 4) DESC, docid ASC) AS INT) AS rank
+  FROM scored
+  WHERE docid % {DELETE_MOD} <> 3
+)
+SELECT qid, docid, score, rank FROM ranked WHERE rank <= {TOPK}
+ORDER BY qid, rank
+"""
+
+
+SNIPPET_K, SNIPPET_WIDTH, SNIPPET_BEFORE = 3, 7, 2
+
+
+def q_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hit-highlight windows for the top-3 BM25 hits per query
+    (operators/snippets.py): anchor = earliest occurrence of any query
+    term, snippet = 7 tokens starting 2 left of the anchor — pure JVM
+    array expressions over a broadcast result set."""
+    from flagembedding_spark.operators.snippets import extract_snippets
+
+    idx = build_doc_index(spark, sf_dir)
+    res = bm25_topk(idx, _queries_df(spark), k=SNIPPET_K, round_scores=4)
+    return extract_snippets(
+        _docs(spark, sf_dir), res.select("qid", "docid", "rank"),
+        _queries_df(spark), width=SNIPPET_WIDTH, before=SNIPPET_BEFORE,
+    ).select("qid", "docid", "rank", "snippet")
+
+
+def _snippet_oracle() -> str:
+    from flagembedding_spark.entries import (
+        _BASE_CTES,
+        _qterm_ctes,
+        _scored_sql,
+    )
+
+    w, bef = SNIPPET_WIDTH, SNIPPET_BEFORE
+    return f"""
+WITH {_BASE_CTES.strip()},
+{_qterm_ctes().strip()},
+{_scored_sql(K1, B, True).strip()},
+ranked AS (
+  SELECT qid, docid, round(score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY round(score, 4) DESC, docid ASC) AS INT) AS rank
+  FROM scored
+),
+dtoks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+anch AS (
+  SELECT r.qid, r.docid, r.rank, min(list_position(d.toks, q.term)) AS pos
+  FROM ranked r
+  JOIN qterms q USING (qid)
+  JOIN dtoks d ON d.doc_id = r.docid
+  WHERE r.rank <= {SNIPPET_K} AND list_position(d.toks, q.term) > 0
+  GROUP BY r.qid, r.docid, r.rank
+)
+SELECT a.qid, a.docid, a.rank,
+       array_to_string(
+         list_slice(d.toks, greatest(a.pos - {bef}, 1),
+                    greatest(a.pos - {bef}, 1) + {w} - 1), ' ') AS snippet
+FROM anch a JOIN dtoks d ON d.doc_id = a.docid
+ORDER BY a.qid, a.rank
+"""
+
+
+PRF_FB_K, PRF_N_TERMS = 10, 5
+
+
+def q_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3-style pseudo-relevance-feedback expansion terms from the top-10
+    BM25 docs per query (operators/prf.py) — INTEGER-ONLY weights
+    (fb_df, fb_tf) so cross-engine parity holds without float-sum rounding
+    risk; original query terms excluded."""
+    from flagembedding_spark.operators.prf import prf_expansion
+
+    idx = build_doc_index(spark, sf_dir)
+    return prf_expansion(
+        idx, _queries_df(spark), fb_k=PRF_FB_K, n_terms=PRF_N_TERMS,
+    )
+
+
+def _prf_oracle() -> str:
+    from flagembedding_spark.entries import (
+        _BASE_CTES,
+        _qterm_ctes,
+        _scored_sql,
+    )
+
+    return f"""
+WITH {_BASE_CTES.strip()},
+{_qterm_ctes().strip()},
+{_scored_sql(K1, B, True).strip()},
+ranked AS (
+  SELECT qid, docid, round(score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY round(score, 4) DESC, docid ASC) AS INT) AS rank
+  FROM scored
+),
+fbcand AS (
+  SELECT r.qid, t.term, count(*) AS fb_df,
+         CAST(sum(t.tf) AS BIGINT) AS fb_tf
+  FROM ranked r
+  JOIN tf t ON t.doc_id = r.docid
+  WHERE r.rank <= {PRF_FB_K}
+    AND NOT EXISTS (SELECT 1 FROM qterms q
+                    WHERE q.qid = r.qid AND q.term = t.term)
+  GROUP BY r.qid, t.term
+),
+expranked AS (
+  SELECT qid, term, fb_df, fb_tf,
+         CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY fb_df DESC, fb_tf DESC, term ASC) AS INT) AS rank
+  FROM fbcand
+)
+SELECT qid, term, fb_df, fb_tf, rank FROM expranked WHERE rank <= {PRF_N_TERMS}
+ORDER BY qid, rank
+"""
+
+
+PIPELINE_ENTRIES["bm25_topk_conjunctive"] = q_bm25_topk_conjunctive
+PIPELINE_ORACLE_SQL["bm25_topk_conjunctive"] = _conjunctive_oracle()
+PIPELINE_ENTRIES["bm25_topk_deleted"] = q_bm25_topk_deleted
+PIPELINE_ORACLE_SQL["bm25_topk_deleted"] = _deleted_oracle()
+PIPELINE_ENTRIES["snippet_extract"] = q_snippet_extract
+PIPELINE_ORACLE_SQL["snippet_extract"] = _snippet_oracle()
+PIPELINE_ENTRIES["prf_expansion"] = q_prf_expansion
+PIPELINE_ORACLE_SQL["prf_expansion"] = _prf_oracle()
+
+
+FILTER_LANG = "en"
+
+
+def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered retrieval (Lucene filter-clause semantics): only
+    lang='en' documents are candidates, but scores keep GLOBAL corpus
+    statistics — a filter restricts, it never rescores
+    (operators/query.py include_docids)."""
+    idx = build_doc_index(spark, sf_dir)
+    keep = _docs(spark, sf_dir).filter(
+        F.col("lang") == FILTER_LANG
+    ).select(F.col("doc_id").alias("docid"))
+    return bm25_topk(
+        idx, _queries_df(spark), k=TOPK, round_scores=4,
+        include_docids=keep,
+    )
+
+
+def _filtered_oracle() -> str:
+    from flagembedding_spark.entries import (
+        _BASE_CTES,
+        _qterm_ctes,
+        _scored_sql,
+    )
+
+    return f"""
+WITH {_BASE_CTES.strip()},
+{_qterm_ctes().strip()},
+{_scored_sql(K1, B, True).strip()},
+ranked AS (
+  SELECT qid, docid, round(score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY round(score, 4) DESC, docid ASC) AS INT) AS rank
+  FROM scored
+  WHERE docid IN (SELECT doc_id FROM documents WHERE lang = '{FILTER_LANG}')
+)
+SELECT qid, docid, score, rank FROM ranked WHERE rank <= {TOPK}
+ORDER BY qid, rank
+"""
+
+
+PIPELINE_ENTRIES["bm25_topk_filtered"] = q_bm25_topk_filtered
+PIPELINE_ORACLE_SQL["bm25_topk_filtered"] = _filtered_oracle()

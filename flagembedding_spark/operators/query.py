@@ -81,6 +81,8 @@ def bm25_topk(
     query_col: str = "query",
     round_scores: int | None = None,
     min_should_match: int | str = 0,
+    exclude_docids=None,
+    include_docids: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 per query: (qid, docid, score, rank). Deterministic ties.
 
@@ -97,6 +99,18 @@ def bm25_topk(
     match count rides the existing (qid, docid) scatter-add (postings are
     unique per (term, docid), so count(*) IS the distinct matched terms),
     and the per-query required count is a broadcast-joined tiny aggregate.
+
+    ``exclude_docids``: live tombstones (operators/deletes.py) — a docid
+    DataFrame or iterable dropped BEFORE ranking. Lucene live-docs
+    semantics: deleted docs vanish, surviving docs keep the index's stale
+    df/avgdl scores (compact/rebuild to refresh statistics).
+
+    ``include_docids``: metadata-filtered search (Lucene filter clause) —
+    a (docid) DataFrame restricting candidates, scores still computed
+    with GLOBAL index statistics (a filter never rescores, exactly as a
+    Lucene filter query). Applied as a docid join before ranking; at
+    cluster scale a hot recurring filter (e.g. per-language) belongs in
+    the index layout (partitionBy) instead — this is the ad-hoc path.
     """
     k = min(k, index.stats.n_docs) if index.stats.n_docs else k
     qt = query_terms(queries, qid_col, query_col)
@@ -113,6 +127,21 @@ def bm25_topk(
     elif min_should_match:
         scored = scored.filter(F.col("nmatched") >= int(min_should_match))
     scored = scored.select("qid", "docid", "score")
+    if include_docids is not None:
+        scored = scored.join(
+            include_docids.select("docid"), "docid", "left_semi"
+        )
+    if exclude_docids is not None:
+        if isinstance(exclude_docids, DataFrame):
+            scored = scored.join(
+                F.broadcast(exclude_docids.select("docid")),
+                "docid",
+                "left_anti",
+            )
+        else:
+            scored = scored.filter(
+                ~F.col("docid").isin([int(x) for x in exclude_docids])
+            )
     if round_scores is not None:
         scored = scored.withColumn("score", F.round("score", round_scores))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))

@@ -734,6 +734,7 @@ def wand_topk(
     query_col: str = "query",
     num_partitions: int | None = None,
     two_phase: bool | str = False,
+    exclude_docids=None,
 ) -> DataFrame:
     """Top-k BM25 over the merged segment index.
 
@@ -755,7 +756,13 @@ def wand_topk(
     when the dictionary-stats heuristic predicts the prunable shuffle
     volume repays the extra metadata job (threshold via
     FES_TWOPHASE_AUTO_BYTES, default 256 MB) — off at sandbox scale, on
-    for cluster-scale hot-term volumes."""
+    for cluster-scale hot-term volumes.
+
+    ``exclude_docids``: live tombstones (operators/deletes.py — Lucene
+    live-docs semantics: deleted docs vanish from results, surviving
+    scores keep the index's STALE stats). Exact via over-fetch
+    (k + |deleted| per query, then re-rank); capped at
+    MAX_QUERY_TIME_DELETES — larger sets must compact_store first."""
     cfg = seg.config
     k1, b = cfg.k1, cfg.b
     avgdl = seg.avgdl_effective
@@ -771,7 +778,19 @@ def wand_topk(
     else:
         cand = cand.repartition(n_part, "qid")
 
-    kk = k
+    excl: list[int] = []
+    if exclude_docids is not None:
+        excl = sorted({int(x) for x in exclude_docids})
+        from flagembedding_spark.operators.deletes import (
+            MAX_QUERY_TIME_DELETES,
+        )
+
+        if len(excl) > MAX_QUERY_TIME_DELETES:
+            raise ValueError(
+                f"{len(excl)} tombstones exceed the query-time cap "
+                f"({MAX_QUERY_TIME_DELETES}) — run compact_store first"
+            )
+    kk = k + len(excl)
     if use_wand is True:
         mode = "auto"
     elif use_wand is False:
@@ -848,6 +867,19 @@ def wand_topk(
         out = (
             out.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= kk)
+            .select("qid", "docid", "score", "rank")
+        )
+    if excl:
+        # tombstone filter + re-rank: the kernels over-fetched k+|deleted|,
+        # so after dropping deleted docs every query still has ≥ k true
+        # survivors (tiny window — ≤ kk rows per query reach it)
+        from pyspark.sql.window import Window
+
+        w2 = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        out = (
+            out.filter(~F.col("docid").isin(excl))
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
             .select("qid", "docid", "score", "rank")
         )
     return out

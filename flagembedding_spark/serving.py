@@ -106,6 +106,13 @@ class SegmentReader:
         self._pool = (
             ThreadPoolExecutor(self.n_threads) if self.n_threads > 1 else None
         )
+        # live tombstones (operators/deletes.py — Lucene live-docs bitset
+        # analog): deleted docs vanish from every point query immediately;
+        # stats stay stale until compact_store
+        from flagembedding_spark.operators.deletes import load_tombstones
+
+        self.tombstones = load_tombstones(root)
+        self._dead = set(int(x) for x in self.tombstones)
 
     def lookup_terms(self, terms: list[str]):
         """→ {term: (idf, bucket)} for terms present in the dictionary."""
@@ -179,6 +186,9 @@ class SegmentReader:
         # query's decode volume is multi-second (≳16M postings), where
         # per-job overhead is trivially amortized.
         big = sum(len(e[4]) for e in packed.values()) >= 131_072
+        # tombstones: over-fetch k + |deleted| (each deleted doc occupies at
+        # most one slot), then drop + re-rank — exact, stale-stats semantics
+        kk = k + len(self._dead)
         if self._pool is not None and big and mode in ("auto", "exact"):
             # same per-query pick as wand._auto_query (UB spread), but the
             # exact branch — the head-query hot path — goes multi-threaded
@@ -190,15 +200,30 @@ class SegmentReader:
                 ]
                 use_exact = min(ubs) >= 0.5 * max(ubs)
             if use_exact:
-                return [
-                    (d, s, r)
-                    for _, d, s, r in _exact_query_mt("q", packed, k, self._pool)
-                ]
-            return [
-                (d, s, r) for _, d, s, r in _pruned_query("q", packed, k)
-            ]
-        fn = {"auto": _auto_query, "pruned": _pruned_query, "exact": _exact_query}[mode]
-        return [(d, s, r) for _, d, s, r in fn("q", packed, k)]
+                rows = _exact_query_mt("q", packed, kk, self._pool)
+            else:
+                rows = _pruned_query("q", packed, kk)
+        else:
+            fn = {
+                "auto": _auto_query,
+                "pruned": _pruned_query,
+                "exact": _exact_query,
+            }[mode]
+            rows = fn("q", packed, kk)
+        return self._live_topk(rows, k)
+
+    def _live_topk(self, rows, k):
+        """Drop tombstoned docids from rank-ordered kernel rows, re-rank,
+        truncate to k. No-op (beyond tuple reshape) without tombstones."""
+        if not self._dead:
+            return [(d, s, r) for _, d, s, r in rows]
+        out = []
+        for _, d, s, _r in rows:
+            if d not in self._dead:
+                out.append((d, s, len(out) + 1))
+                if len(out) == k:
+                    break
+        return out
 
     # -- positional point queries (store must be built with positions) ----
 
@@ -276,7 +301,11 @@ class SegmentReader:
             if keys.size == 0:
                 return []
         ud, counts = np.unique(keys // _POS_KEY, return_counts=True)
-        out = [(int(uniq[d]), int(c)) for d, c in zip(ud, counts)]
+        out = [
+            (int(uniq[d]), int(c))
+            for d, c in zip(ud, counts)
+            if int(uniq[d]) not in self._dead
+        ]
         return out[:limit] if limit else out
 
     def proximity(self, term_a: str, term_b: str, window: int,
@@ -315,5 +344,9 @@ class SegmentReader:
             return []
         ud, inv = np.unique(da[keep], return_inverse=True)
         tot = np.bincount(inv, weights=n_i[keep]).astype(np.int64)
-        out = [(int(d), int(c)) for d, c in zip(ud, tot)]
+        out = [
+            (int(d), int(c))
+            for d, c in zip(ud, tot)
+            if int(d) not in self._dead
+        ]
         return out[:limit] if limit else out

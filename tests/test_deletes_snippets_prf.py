@@ -1,0 +1,311 @@
+"""Round-4 operators: live tombstone deletes (Lucene live-docs semantics),
+compaction, Boolean min_should_match, snippet extraction, PRF expansion."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flagembedding_spark.config import BM25Config
+from flagembedding_spark.operators.deletes import (
+    MAX_QUERY_TIME_DELETES,
+    clear_tombstones,
+    compact_store,
+    load_tombstones,
+    write_tombstones,
+)
+from flagembedding_spark.operators.index_build import build_index
+from flagembedding_spark.operators.query import bm25_topk
+from flagembedding_spark.operators.segments import (
+    build_segments,
+    merge_segments,
+    save_segments,
+)
+from flagembedding_spark.operators.wand import wand_topk
+
+CFG = BM25Config(k1=1.2, b=0.75, block_size=16, salt_threshold_df=50,
+                 max_salt=4, term_buckets=8)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    from flagembedding_spark.schemas import synth_corpus
+
+    c = synth_corpus(spark, 200, seed=13)
+    return c.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("content").alias("text"),
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def index(corpus):
+    return build_index(corpus, CFG, content_col="text", docid_long="doc_id")
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    return spark.createDataFrame(
+        # terms from the synthetic CODE corpus vocabulary (schemas.py) —
+        # an off-vocabulary query set here would make every test vacuous
+        [("q1", "get_er_0 set_er_1 merge_er_6"), ("q2", "public const"),
+         ("q3", "class import")],
+        ["query_id", "query"],
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["qid"], int(r["docid"]), round(float(r["score"]), 6), int(r["rank"]))
+        for r in df.collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# tombstones
+# ---------------------------------------------------------------------------
+
+def test_tombstone_file_roundtrip(tmp_path):
+    root = str(tmp_path)
+    assert load_tombstones(root).size == 0
+    got = write_tombstones(root, [5, 3, 5, 9])
+    assert got.tolist() == [3, 5, 9]
+    got = write_tombstones(root, [1, 9])  # idempotent union
+    assert got.tolist() == [1, 3, 5, 9]
+    assert load_tombstones(root).tolist() == [1, 3, 5, 9]
+    clear_tombstones(root)
+    assert load_tombstones(root).size == 0
+
+
+def test_dataframe_deletes_stale_scores(index, queries):
+    """Deleted docs vanish; every surviving (doc, score) pair is EXACTLY the
+    pre-delete pair (stale stats — a delete must not rescore survivors)."""
+    full = bm25_topk(index, queries, k=50)
+    full_scores = {
+        (r["qid"], int(r["docid"])): float(r["score"]) for r in full.collect()
+    }
+    assert full_scores  # queries must hit the corpus (non-vacuous test)
+    dead = [int(r["docid"]) for r in full.filter("rank <= 2").collect()]
+    assert dead
+    got = bm25_topk(index, queries, k=10, exclude_docids=dead)
+    for r in got.collect():
+        assert int(r["docid"]) not in dead
+        assert float(r["score"]) == pytest.approx(
+            full_scores[(r["qid"], int(r["docid"]))], abs=0
+        )
+    # rank sequence stays dense 1..k per query
+    for q in ("q1", "q2", "q3"):
+        ranks = [int(r["rank"]) for r in got.filter(F.col("qid") == q).collect()]
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_wand_deletes_match_dataframe(index, queries):
+    seg = merge_segments(build_segments(index))
+    seg.blocks = seg.blocks.cache()
+    dead = [3, 7, 11, 42]
+    want = _rows(bm25_topk(index, queries, k=10, exclude_docids=dead))
+    assert want  # non-vacuous
+    got = _rows(wand_topk(seg, queries, k=10, exclude_docids=dead))
+    assert got == want
+
+
+def test_wand_deletes_cap(index, queries):
+    seg = merge_segments(build_segments(index))
+    with pytest.raises(ValueError, match="compact_store"):
+        wand_topk(
+            seg, queries, k=10,
+            exclude_docids=range(MAX_QUERY_TIME_DELETES + 1),
+        )
+
+
+def test_serving_reader_honors_tombstones(spark, index, tmp_path):
+    from flagembedding_spark.serving import SegmentReader
+
+    seg = merge_segments(build_segments(index))
+    root = str(tmp_path / "store")
+    save_segments(seg, root)
+    rd = SegmentReader(root, n_threads=1)
+    full = rd.topk("get_er_0 set_er_1 merge_er_6", k=20)
+    assert len(full) > 5
+    dead = [d for d, _, _ in full[:3]]
+    write_tombstones(root, dead)
+    rd2 = SegmentReader(root, n_threads=1)
+    got = rd2.topk("get_er_0 set_er_1 merge_er_6", k=10)
+    full_scores = dict((d, s) for d, s, _ in full)
+    assert [d for d, _, _ in got] == [
+        d for d, _, _ in full if d not in set(dead)
+    ][:10]
+    for d, s, r in got:
+        assert s == full_scores[d]  # stale stats: scores bit-identical
+    assert [r for _, _, r in got] == list(range(1, len(got) + 1))
+
+
+def test_compact_store_recomputes_stats(spark, corpus, index, queries, tmp_path):
+    """expungeDeletes: the compacted store must answer queries like a FRESH
+    index built over the surviving corpus (df/idf/avgdl recomputed)."""
+    seg = merge_segments(build_segments(index))
+    root, out = str(tmp_path / "store"), str(tmp_path / "compacted")
+    save_segments(seg, root)
+    dead = [int(r["doc_id"]) for r in corpus.filter("doc_id % 11 = 2").collect()]
+    write_tombstones(root, dead)
+    compacted = compact_store(spark, root, out)
+    assert load_tombstones(out).size == 0
+
+    survivors = corpus.filter(~F.col("doc_id").isin(dead))
+    fresh_idx = build_index(
+        survivors, CFG, content_col="text", docid_long="doc_id"
+    )
+    fresh = merge_segments(build_segments(fresh_idx))
+    want = _rows(wand_topk(fresh, queries, k=10))
+    assert want  # non-vacuous
+    got = _rows(wand_topk(compacted, queries, k=10))
+    assert got == want
+    assert compacted.stats.n_docs == fresh_idx.stats.n_docs
+    assert compacted.stats.avgdl == pytest.approx(fresh_idx.stats.avgdl)
+
+
+def test_serving_phrase_proximity_honor_tombstones(spark, tmp_path):
+    from flagembedding_spark.operators.index_build import index_from_postings
+    from flagembedding_spark.operators.positions import positional_postings_full
+    from flagembedding_spark.serving import SegmentReader
+
+    rows = [(0, "a b c"), (1, "a b d"), (2, "a x b")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = index_from_postings(positional_postings_full(docs), CFG)
+    seg = merge_segments(build_segments(idx, store_positions=True))
+    root = str(tmp_path / "pstore")
+    save_segments(seg, root)
+    write_tombstones(root, [1])
+    rd = SegmentReader(root, n_threads=1)
+    assert [d for d, _ in rd.phrase("a b")] == [0]
+    assert all(d != 1 for d, _ in rd.proximity("a", "b", window=2))
+
+
+# ---------------------------------------------------------------------------
+# min_should_match / conjunctive
+# ---------------------------------------------------------------------------
+
+def test_min_should_match_all_and_int(spark, index, corpus):
+    qs = spark.createDataFrame(
+        [("c1", "get_er_0 merge_er_6 read_er_4"), ("c2", "get_er_0 zz_oov_token")],
+        ["query_id", "query"],
+    )
+    toks = F.split("text", " ", -1)
+    # ground truth: docs containing every term of c1
+    want = sorted(
+        int(r["doc_id"])
+        for r in corpus.filter(
+            F.array_contains(toks, "get_er_0")
+            & F.array_contains(toks, "merge_er_6")
+            & F.array_contains(toks, "read_er_4")
+        ).collect()
+    )
+    assert want  # non-vacuous: the conjunction must have matches
+    got = bm25_topk(index, qs, k=1000, min_should_match="all")
+    assert sorted(
+        int(r["docid"]) for r in got.filter("qid = 'c1'").collect()
+    ) == want
+    # conjunctive with an OOV term matches nothing (Lucene AND)
+    assert got.filter("qid = 'c2'").count() == 0
+    # msm=2: at least two distinct terms
+    got2 = bm25_topk(index, qs, k=1000, min_should_match=2)
+    for r in got2.filter("qid = 'c1'").collect():
+        row = corpus.filter(F.col("doc_id") == int(r["docid"])).collect()[0]
+        n = sum(
+            t in row["text"].split(" ")
+            for t in ("get_er_0", "merge_er_6", "read_er_4")
+        )
+        assert n >= 2
+    # disjunctive default is unchanged and a superset
+    base = bm25_topk(index, qs, k=1000)
+    assert base.filter("qid = 'c1'").count() >= len(want)
+
+
+# ---------------------------------------------------------------------------
+# snippets
+# ---------------------------------------------------------------------------
+
+def test_snippet_hand_checked(spark):
+    from flagembedding_spark.operators.snippets import extract_snippets
+
+    docs = spark.createDataFrame(
+        [
+            (0, "t0 t1 t2 needle t4 t5 t6 t7 t8 t9 t10"),
+            (1, "needle right at start of this document here"),
+            (2, "no match here at all in this text"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([("s1", "needle")], ["query_id", "query"])
+    res = spark.createDataFrame(
+        [("s1", 0, 1), ("s1", 1, 2)], "qid string, docid long, rank int"
+    )
+    got = {
+        (r["qid"], int(r["docid"])): r["snippet"]
+        for r in extract_snippets(docs, res, qs, width=7, before=2).collect()
+    }
+    # anchor at token 4 (1-based) → start 2 → 7 tokens
+    assert got[("s1", 0)] == "t1 t2 needle t4 t5 t6 t7"
+    # anchor at token 1 → start clamps to 1
+    assert got[("s1", 1)] == "needle right at start of this document"
+
+
+# ---------------------------------------------------------------------------
+# PRF expansion
+# ---------------------------------------------------------------------------
+
+def test_prf_hand_checked(spark):
+    from flagembedding_spark.operators.index_build import build_index as _bi
+    from flagembedding_spark.operators.prf import prf_expansion
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana banana cherry"),
+            (1, "apple banana date"),
+            (2, "apple elderberry"),
+            (3, "fig grape"),  # irrelevant to the query
+        ],
+        "doc_id long, text string",
+    )
+    idx = _bi(docs, CFG, content_col="text", docid_long="doc_id")
+    qs = spark.createDataFrame([("p1", "apple")], ["query_id", "query"])
+    got = [
+        (r["term"], int(r["fb_df"]), int(r["fb_tf"]), int(r["rank"]))
+        for r in prf_expansion(idx, qs, fb_k=3, n_terms=3)
+        .orderBy("rank").collect()
+    ]
+    # feedback docs = the 3 'apple' docs; 'apple' itself excluded;
+    # banana: df 2, tf 3; cherry/date/elderberry: df 1 tf 1 → term asc
+    assert got == [
+        ("banana", 2, 3, 1), ("cherry", 1, 1, 2), ("date", 1, 1, 3)
+    ]
+
+
+def test_prf_all_oov_query_absent(spark, index):
+    from flagembedding_spark.operators.prf import prf_expansion
+
+    qs = spark.createDataFrame(
+        [("p2", "zz_nothing_matches qq_nada")], ["query_id", "query"]
+    )
+    assert prf_expansion(index, qs, fb_k=5, n_terms=3).count() == 0
+
+
+def test_include_docids_filter_never_rescores(spark, index, corpus, queries):
+    """Filtered search (Lucene filter clause): candidates restricted to the
+    include set, every surviving (doc, score) identical to unfiltered."""
+    keep = corpus.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("docid")
+    )
+    keep_ids = {int(r["docid"]) for r in keep.collect()}
+    full = bm25_topk(index, queries, k=1000)
+    full_scores = {
+        (r["qid"], int(r["docid"])): float(r["score"]) for r in full.collect()
+    }
+    got = bm25_topk(index, queries, k=10, include_docids=keep)
+    rows = got.collect()
+    assert rows
+    for r in rows:
+        assert int(r["docid"]) in keep_ids
+        assert float(r["score"]) == full_scores[(r["qid"], int(r["docid"]))]
+    for q in ("q1", "q2", "q3"):
+        ranks = [int(r["rank"]) for r in rows if r["qid"] == q]
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
