@@ -799,3 +799,31 @@ def test_merge_stores_empty_generation_disjoint_check(spark, tmp_path):
     save_segments(empty_seg, r2)
     merged = merge_stores(spark, [r1, r2], check_disjoint=True)
     assert merged.stats.n_docs == full.stats.n_docs
+
+
+def test_two_phase_auto_engages_with_low_threshold(spark, monkeypatch):
+    """'auto' must ENGAGE the prune (not just predict off) when the byte
+    threshold says so — forced via FES_TWOPHASE_AUTO_BYTES=1 — and stay
+    identical to exact."""
+    from flagembedding_spark.operators.wand import candidate_block_plan
+
+    corpus = _clustered_rare_corpus(spark)
+    cfg = BM25Config(block_size=64, term_buckets=8)
+    idx = build_index(
+        corpus, cfg, content_col="text", docid_long="doc_id", method="sql"
+    )
+    seg = merge_segments(build_segments(idx))
+    seg.blocks = seg.blocks.cache()
+    qs = spark.createDataFrame(
+        [("fq0", "rare_x def self ( ) = { } : if for class return")],
+        "query_id string, query string",
+    )
+    monkeypatch.setenv("FES_TWOPHASE_AUTO_BYTES", "1")
+    n_all = candidate_block_plan(seg, qs, k=5)[0].count()
+    n_auto = candidate_block_plan(seg, qs, k=5, two_phase="auto")[0].count()
+    assert n_auto < n_all, (n_auto, n_all)  # the prune actually ran
+    base = _canon(wand_topk(seg, qs, k=5, use_wand="exact").collect(), 6)
+    auto = _canon(
+        wand_topk(seg, qs, k=5, use_wand="auto", two_phase="auto").collect(), 6
+    )
+    assert auto == base
