@@ -2563,3 +2563,243 @@ ORDER BY qid, rank
 
 PIPELINE_ENTRIES["bm25_topk_filtered"] = q_bm25_topk_filtered
 PIPELINE_ORACLE_SQL["bm25_topk_filtered"] = _filtered_oracle()
+
+
+MLT_SEED_MOD, MLT_SEED_REM, MLT_M_TERMS = 67, 11, 5
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene MoreLikeThis: deterministic seed docs (doc_id % 601 == 11)
+    become queries — top-5 terms by round4(tf·idf) per seed, BM25 top-10
+    over them, seed excluded (operators/mlt.py)."""
+    from flagembedding_spark.operators.mlt import more_like_this
+
+    idx = build_doc_index(spark, sf_dir)
+    seeds = _docs(spark, sf_dir).filter(
+        F.col("doc_id") % MLT_SEED_MOD == MLT_SEED_REM
+    ).select(F.col("doc_id").alias("docid"))
+    return more_like_this(
+        idx, seeds, m_terms=MLT_M_TERMS, k=TOPK, round_scores=4,
+    )
+
+
+def _mlt_oracle() -> str:
+    from flagembedding_spark.entries import _BASE_CTES
+
+    return f"""
+WITH {_BASE_CTES.strip()},
+seeds AS (SELECT doc_id FROM documents WHERE doc_id % {MLT_SEED_MOD} = {MLT_SEED_REM}),
+tv AS (
+  SELECT CAST(sd.doc_id AS VARCHAR) AS qid, t.term,
+         round(t.tf * ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1.0), 4) AS w4
+  FROM tf t
+  JOIN seeds sd ON t.doc_id = sd.doc_id
+  JOIN df d USING (term)
+  CROSS JOIN stats st
+),
+mterms AS (
+  SELECT qid, term,
+         row_number() OVER (PARTITION BY qid ORDER BY w4 DESC, term ASC) AS trank
+  FROM tv
+),
+qsel AS (SELECT qid, term FROM mterms WHERE trank <= {MLT_M_TERMS}),
+scored AS (
+  SELECT q.qid AS qid, t.doc_id AS docid,
+         sum(ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * ({K1} + 1.0) * t.tf
+             / (t.tf + {K1} * (1.0 - {B} + {B} * l.dl / st.avgdl))) AS score
+  FROM tf t
+  JOIN df d USING (term)
+  JOIN qsel q USING (term)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats st
+  WHERE CAST(t.doc_id AS VARCHAR) <> q.qid
+  GROUP BY q.qid, t.doc_id
+),
+ranked AS (
+  SELECT qid, docid, round(score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY round(score, 4) DESC, docid ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT qid, docid, score, rank FROM ranked WHERE rank <= {TOPK}
+ORDER BY qid, rank
+"""
+
+
+BM25F_TITLE_TOKS, BM25F_W_TITLE, BM25F_W_BODY = 8, 2, 1
+
+
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F weighted-field scoring (operators/bm25f.py): deterministic
+    field split — first 8 tokens are the 'title' (weight 2), the rest the
+    'body' (weight 1); integer weights keep tf'/dl' integral so the kernel
+    math is exactly the single-field shape."""
+    from flagembedding_spark.functions.tokenize import whitespace_tokens
+    from flagembedding_spark.operators.bm25f import bm25f_topk
+
+    toks = whitespace_tokens("text")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.slice(toks, 1, BM25F_TITLE_TOKS).alias("title_toks"),
+        F.slice(
+            toks, BM25F_TITLE_TOKS + 1,
+            F.greatest(F.size(toks), F.lit(1)),
+        ).alias("body_toks"),
+    )
+    return bm25f_topk(
+        docs, _queries_df(spark),
+        fields=[("title_toks", BM25F_W_TITLE), ("body_toks", BM25F_W_BODY)],
+        k=TOPK, config=BM25Config(k1=K1, b=B), round_scores=4,
+    )
+
+
+def _bm25f_oracle() -> str:
+    from flagembedding_spark.entries import _qterm_ctes
+
+    t, wt, wb = BM25F_TITLE_TOKS, BM25F_W_TITLE, BM25F_W_BODY
+    return f"""
+WITH dtoks AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+ftokens AS (
+  SELECT doc_id, unnest(list_slice(toks, 1, {t})) AS term, {wt} AS w FROM dtoks
+  UNION ALL
+  SELECT doc_id, unnest(list_slice(toks, {t} + 1, len(toks))) AS term, {wb} AS w FROM dtoks
+),
+tfw AS (SELECT doc_id, term, sum(w) AS tf FROM ftokens GROUP BY doc_id, term),
+dlw AS (SELECT doc_id, sum(w) AS dl FROM ftokens GROUP BY doc_id),
+dfw AS (SELECT term, count(*) AS df FROM tfw GROUP BY term),
+statsw AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT avg(dl) FROM dlw) AS avgdl
+),
+{_qterm_ctes().strip()},
+scored AS (
+  SELECT q.qid AS qid, tfw.doc_id AS docid,
+         sum(q.qtf
+             * ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * ({K1} + 1.0) * tfw.tf
+             / (tfw.tf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl))) AS score
+  FROM tfw
+  JOIN dfw d USING (term)
+  JOIN qterms q USING (term)
+  JOIN dlw l USING (doc_id)
+  CROSS JOIN statsw s
+  GROUP BY q.qid, tfw.doc_id
+),
+ranked AS (
+  SELECT qid, docid, round(score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY round(score, 4) DESC, docid ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT qid, docid, score, rank FROM ranked WHERE rank <= {TOPK}
+ORDER BY qid, rank
+"""
+
+
+PIPELINE_ENTRIES["more_like_this"] = q_more_like_this
+PIPELINE_ORACLE_SQL["more_like_this"] = _mlt_oracle()
+PIPELINE_ENTRIES["bm25f_topk"] = q_bm25f_topk
+PIPELINE_ORACLE_SQL["bm25f_topk"] = _bm25f_oracle()
+
+
+PREFIX_QUERIES = [("pf1", "sp"), ("pf2", "du"), ("pf3", "wi")]
+FUZZY_QUERIES = [("fz1", "spqrk"), ("fz2", "windoq"), ("fz3", "merge")]
+MTQ_MAX_EXPANSIONS = 50
+
+
+def q_prefix_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene PrefixQuery analog (operators/termquery.py): dictionary
+    expansion capped at 50 terms by (df DESC, term ASC), BM25 disjunction
+    with qtf=1 per expanded term."""
+    from flagembedding_spark.operators.termquery import prefix_search_topk
+
+    idx = build_doc_index(spark, sf_dir)
+    ps = spark.createDataFrame(PREFIX_QUERIES, ["query_id", "prefix"])
+    return prefix_search_topk(
+        idx, ps, k=TOPK, max_expansions=MTQ_MAX_EXPANSIONS, round_scores=4
+    )
+
+
+def q_fuzzy_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene FuzzyQuery analog: Levenshtein ≤ 1 dictionary expansion
+    (length-window pre-filter), same capped disjunction scoring."""
+    from flagembedding_spark.operators.termquery import fuzzy_search_topk
+
+    idx = build_doc_index(spark, sf_dir)
+    ts = spark.createDataFrame(FUZZY_QUERIES, ["query_id", "qterm"])
+    return fuzzy_search_topk(
+        idx, ts, k=TOPK, max_edits=1, max_expansions=MTQ_MAX_EXPANSIONS,
+        round_scores=4,
+    )
+
+
+def _mtq_scored_tail() -> str:
+    """Shared scoring/rank tail over a `qsel(qid, term)` expansion CTE."""
+    return f"""
+scored AS (
+  SELECT q.qid AS qid, t.doc_id AS docid,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * ({K1} + 1.0) * t.tf
+             / (t.tf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl))) AS score
+  FROM tf t
+  JOIN df d USING (term)
+  JOIN qsel q USING (term)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY q.qid, t.doc_id
+),
+ranked AS (
+  SELECT qid, docid, round(score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY round(score, 4) DESC, docid ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT qid, docid, score, rank FROM ranked WHERE rank <= {TOPK}
+ORDER BY qid, rank
+"""
+
+
+def _prefix_oracle() -> str:
+    from flagembedding_spark.entries import _BASE_CTES
+
+    rows = ", ".join(f"('{q}', '{p}')" for q, p in PREFIX_QUERIES)
+    return f"""
+WITH {_BASE_CTES.strip()},
+qsel AS (
+  SELECT p.qid, d.term
+  FROM df d
+  JOIN (VALUES {rows}) AS p(qid, prefix)
+    ON starts_with(d.term, p.prefix)
+  QUALIFY row_number() OVER (PARTITION BY p.qid
+            ORDER BY d.df DESC, d.term ASC) <= {MTQ_MAX_EXPANSIONS}
+),
+{_mtq_scored_tail().strip()}
+"""
+
+
+def _fuzzy_oracle() -> str:
+    from flagembedding_spark.entries import _BASE_CTES
+
+    rows = ", ".join(f"('{q}', '{t}')" for q, t in FUZZY_QUERIES)
+    return f"""
+WITH {_BASE_CTES.strip()},
+qsel AS (
+  SELECT p.qid, d.term
+  FROM df d
+  JOIN (VALUES {rows}) AS p(qid, qterm)
+    ON abs(length(d.term) - length(p.qterm)) <= 1
+   AND levenshtein(d.term, p.qterm) <= 1
+  QUALIFY row_number() OVER (PARTITION BY p.qid
+            ORDER BY d.df DESC, d.term ASC) <= {MTQ_MAX_EXPANSIONS}
+),
+{_mtq_scored_tail().strip()}
+"""
+
+
+PIPELINE_ENTRIES["prefix_search_topk"] = q_prefix_search_topk
+PIPELINE_ORACLE_SQL["prefix_search_topk"] = _prefix_oracle()
+PIPELINE_ENTRIES["fuzzy_search_topk"] = q_fuzzy_search_topk
+PIPELINE_ORACLE_SQL["fuzzy_search_topk"] = _fuzzy_oracle()

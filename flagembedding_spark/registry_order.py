@@ -68,6 +68,10 @@ STABLE_TAIL: list[str] = [
     "bm25_topk_wand_docpart",
     "windowed_event_counts",
     "qa_containment_unicode",
+    "token_counts_unicode",
+    "lang_id_multi",
+    "retrieval_metrics_binary",
+    "code_token_counts",
 ]
 
 

