@@ -2803,3 +2803,82 @@ PIPELINE_ENTRIES["prefix_search_topk"] = q_prefix_search_topk
 PIPELINE_ORACLE_SQL["prefix_search_topk"] = _prefix_oracle()
 PIPELINE_ENTRIES["fuzzy_search_topk"] = q_fuzzy_search_topk
 PIPELINE_ORACLE_SQL["fuzzy_search_topk"] = _fuzzy_oracle()
+
+
+WILDCARD_QUERIES = [("wc1", "sp*"), ("wc2", "?ash"), ("wc3", "jo?n"),
+                    ("wc4", "*dow")]
+
+
+def q_wildcard_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene WildcardQuery analog (operators/termquery.py): `*`/`?`
+    patterns translate to an anchored regex shared verbatim by both
+    engines; same capped-expansion BM25 disjunction as prefix/fuzzy."""
+    from flagembedding_spark.operators.termquery import wildcard_search_topk
+
+    idx = build_doc_index(spark, sf_dir)
+    ps = spark.createDataFrame(WILDCARD_QUERIES, ["query_id", "pattern"])
+    return wildcard_search_topk(
+        idx, ps, k=TOPK, max_expansions=MTQ_MAX_EXPANSIONS, round_scores=4
+    )
+
+
+def _wildcard_oracle() -> str:
+    from flagembedding_spark.entries import _BASE_CTES
+    from flagembedding_spark.operators.termquery import wildcard_to_regex
+
+    rows = ", ".join(
+        f"('{q}', '{wildcard_to_regex(p)}')" for q, p in WILDCARD_QUERIES
+    )
+    return f"""
+WITH {_BASE_CTES.strip()},
+qsel AS (
+  SELECT p.qid, d.term
+  FROM df d
+  JOIN (VALUES {rows}) AS p(qid, rx)
+    ON regexp_matches(d.term, p.rx)
+  QUALIFY row_number() OVER (PARTITION BY p.qid
+            ORDER BY d.df DESC, d.term ASC) <= {MTQ_MAX_EXPANSIONS}
+),
+{_mtq_scored_tail().strip()}
+"""
+
+
+def q_proximity_match_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-order SpanNearQuery form: only pairs where term_b FOLLOWS term_a
+    within the window count (1 ≤ pos_b − pos_a ≤ w); same probes as
+    proximity_match."""
+    from flagembedding_spark.operators.positions import (
+        positional_postings,
+        proximity_match_batch,
+    )
+
+    pos = positional_postings(_docs(spark, sf_dir))
+    return proximity_match_batch(pos, PROX_PROBES, ordered=True)
+
+
+def _proximity_ordered_sql() -> str:
+    blocks = []
+    for qid, a, b, w in PROX_PROBES:
+        blocks.append(f"""
+SELECT '{qid}' AS qid, a.doc_id AS docid, count(*) AS n_pairs
+FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND b.term = '{b}'
+  AND b.pos > a.pos AND b.pos - a.pos <= {w}
+WHERE a.term = '{a}'
+GROUP BY 1, 2
+""")
+    body = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+idx AS (SELECT unnest(generate_series(1, {MAX_TOKENS_BOUND})) AS i),
+tp AS (
+  SELECT doc_id, toks[i] AS term, i - 1 AS pos
+  FROM tt JOIN idx ON idx.i <= len(toks)
+)
+{body}
+"""
+
+
+PIPELINE_ENTRIES["wildcard_search_topk"] = q_wildcard_search_topk
+PIPELINE_ORACLE_SQL["wildcard_search_topk"] = _wildcard_oracle()
+PIPELINE_ENTRIES["proximity_match_ordered"] = q_proximity_match_ordered
+PIPELINE_ORACLE_SQL["proximity_match_ordered"] = _proximity_ordered_sql()

@@ -429,14 +429,20 @@ def proximity_occurrences(
     term_b: str,
     window: int,
     qid: str | None = None,
+    ordered: bool = False,
 ) -> DataFrame:
-    """Unordered proximity match: docs where ``term_a`` and ``term_b``
-    co-occur within ``window`` tokens → (docid, n_pairs) counting every
+    """Proximity match: docs where ``term_a`` and ``term_b`` co-occur
+    within ``window`` tokens → (docid, n_pairs) counting every
     (pos_a, pos_b) pair with |pos_a − pos_b| ≤ window (the sloppy-phrase /
     'terms near each other' query Lucene answers from its positions; ours
     reads the same positional lists). JVM higher-order functions only —
     O(tf_a·tf_b) per doc, no Python. Identical terms count unordered
-    distinct pairs (a<b)."""
+    distinct pairs (a<b).
+
+    ``ordered=True`` is the in-order SpanNearQuery form: only pairs where
+    ``term_b`` FOLLOWS ``term_a`` count (1 ≤ pos_b − pos_a ≤ window) —
+    for identical terms this coincides with the unordered distinct-pair
+    rule."""
     same = term_a == term_b
     a = positional.filter(F.col("term") == term_a).select(
         "docid", F.col("positions").alias("pa")
@@ -449,7 +455,7 @@ def proximity_occurrences(
         )
         joined = a.join(b, "docid")
     w = F.lit(window)
-    if same:
+    if same or ordered:
         count = F.aggregate(
             "pa",
             F.lit(0).cast("long"),
@@ -476,12 +482,13 @@ def proximity_occurrences(
 
 
 def proximity_match_batch(
-    positional: DataFrame, probes: list[tuple[str, str, str, int]]
+    positional: DataFrame, probes: list[tuple[str, str, str, int]],
+    ordered: bool = False,
 ) -> DataFrame:
     """Union of proximity_occurrences over (qid, term_a, term_b, window)
     probes → (qid, docid, n_pairs)."""
     outs = [
-        proximity_occurrences(positional, a, b, w, qid)
+        proximity_occurrences(positional, a, b, w, qid, ordered=ordered)
         for qid, a, b, w in probes
     ]
     res = outs[0]

@@ -88,6 +88,73 @@ def expand_fuzzy(
     )
 
 
+def wildcard_to_regex(pattern: str) -> str:
+    """Lucene wildcard syntax → anchored regex: ``*`` = any sequence,
+    ``?`` = exactly one char, everything else literal. The output uses
+    only `.`/`.*`/escaped literals — a subset with identical semantics in
+    Java regex (Spark rlike) and RE2-style engines (DuckDB
+    regexp_matches)."""
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def expand_wildcard(
+    index: InvertedIndex,
+    patterns: DataFrame,
+    max_expansions: int = 50,
+    qid_col: str = "query_id",
+    pattern_col: str = "pattern",
+) -> DataFrame:
+    """→ (qid, term, qtf=1): dictionary terms matching each query's
+    wildcard pattern (`*`/`?`), capped like expand_prefix. A
+    leading-wildcard pattern scans the whole dictionary (Lucene disallows
+    it by default for the same reason) — allowed here because the scan is
+    distributed, but prefer an anchored prefix when possible."""
+    # patterns are query-set-sized: translate driver-side (no UDF) and
+    # re-broadcast the tiny (qid, regex) table
+    rows = patterns.select(
+        F.col(qid_col).alias("qid"), F.col(pattern_col).alias("pattern")
+    ).collect()
+    p = patterns.sparkSession.createDataFrame(
+        [(r["qid"], wildcard_to_regex(r["pattern"])) for r in rows],
+        "qid string, rx string",
+    )
+    cand = index.dictionary.select("term", "df").join(
+        F.broadcast(p), F.regexp_like(F.col("term"), F.col("rx"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= max_expansions)
+        .select("qid", "term", F.lit(1).cast("long").alias("qtf"))
+    )
+
+
+def wildcard_search_topk(
+    index: InvertedIndex,
+    patterns: DataFrame,
+    k: int = 10,
+    max_expansions: int = 50,
+    round_scores: int | None = None,
+    qid_col: str = "query_id",
+    pattern_col: str = "pattern",
+) -> DataFrame:
+    """Top-k BM25 over the wildcard-expanded disjunction."""
+    qt = expand_wildcard(
+        index, patterns, max_expansions, qid_col, pattern_col
+    )
+    return _score_expanded(index, qt, k, round_scores)
+
+
 def _score_expanded(
     index: InvertedIndex, qt: DataFrame, k: int, round_scores: int | None
 ) -> DataFrame:

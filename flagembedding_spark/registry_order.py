@@ -72,6 +72,8 @@ STABLE_TAIL: list[str] = [
     "lang_id_multi",
     "retrieval_metrics_binary",
     "code_token_counts",
+    "postings_stopfiltered",
+    "impact_postings",
 ]
 
 

@@ -479,3 +479,56 @@ def test_fuzzy_expansion_and_search(spark):
         int(r["docid"]) for r in fuzzy_search_topk(idx, ts, k=10).collect()
     }
     assert hits == {0, 1, 3}
+
+
+def test_wildcard_expansion_and_regex(spark):
+    from flagembedding_spark.operators.termquery import (
+        expand_wildcard,
+        wildcard_to_regex,
+    )
+
+    assert wildcard_to_regex("sp*") == "^sp.*$"
+    assert wildcard_to_regex("?ash") == "^.ash$"
+    assert wildcard_to_regex("a.b*") == "^a\\.b.*$"  # dot escaped literally
+    docs = spark.createDataFrame(
+        [(0, "spark spore hash cash wash a.bx"), (1, "spin dash rehash")],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, CFG, content_col="text", docid_long="doc_id")
+    ps = spark.createDataFrame(
+        [("w1", "sp*"), ("w2", "?ash"), ("w3", "a.b*")],
+        ["query_id", "pattern"],
+    )
+    got = {}
+    for r in expand_wildcard(idx, ps).collect():
+        got.setdefault(r["qid"], set()).add(r["term"])
+    assert got["w1"] == {"spark", "spore", "spin"}
+    assert got["w2"] == {"hash", "cash", "wash", "dash"}  # NOT rehash
+    assert got["w3"] == {"a.bx"}
+
+
+def test_proximity_ordered_vs_unordered(spark):
+    from flagembedding_spark.operators.positions import (
+        positional_postings,
+        proximity_occurrences,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a x b"), (1, "b x a"), (2, "a b a")],
+        "doc_id long, text string",
+    )
+    pos = positional_postings(docs)
+    un = {
+        int(r["docid"]): int(r["n_pairs"])
+        for r in proximity_occurrences(pos, "a", "b", 2).collect()
+    }
+    od = {
+        int(r["docid"]): int(r["n_pairs"])
+        for r in proximity_occurrences(
+            pos, "a", "b", 2, ordered=True
+        ).collect()
+    }
+    # doc0: a@0 b@2 → both; doc1: b@0 a@2 → unordered only;
+    # doc2: a@0 b@1 a@2 → unordered pairs (0,1),(1,2)=2; ordered only (0,1)
+    assert un == {0: 1, 1: 1, 2: 2}
+    assert od == {0: 1, 2: 1}
