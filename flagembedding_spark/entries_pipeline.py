@@ -2882,3 +2882,75 @@ PIPELINE_ENTRIES["wildcard_search_topk"] = q_wildcard_search_topk
 PIPELINE_ORACLE_SQL["wildcard_search_topk"] = _wildcard_oracle()
 PIPELINE_ENTRIES["proximity_match_ordered"] = q_proximity_match_ordered
 PIPELINE_ORACLE_SQL["proximity_match_ordered"] = _proximity_ordered_sql()
+
+
+DECON_MOD, DECON_REM, DECON_N = 101, 7, 3
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination (curation.decontaminate): docs with
+    doc_id % 101 == 7 stand in for the eval benchmark; every other doc
+    sharing a 3-gram with them is flagged with its distinct matched-gram
+    count."""
+    from flagembedding_spark.operators.curation import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % DECON_MOD == DECON_REM)
+    train = docs.filter(F.col("doc_id") % DECON_MOD != DECON_REM)
+    return decontaminate(train, ev, n=DECON_N)
+
+
+def _decontaminate_oracle() -> str:
+    n = DECON_N
+    cat = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+WITH tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+idx AS (SELECT unnest(generate_series(1, {MAX_TOKENS_BOUND})) AS i),
+sh AS (
+  SELECT DISTINCT doc_id, {cat} AS shingle
+  FROM tt JOIN idx ON idx.i + {n - 1} <= len(toks)
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_MOD} = {DECON_REM}),
+fl AS (
+  SELECT s.doc_id, count(*) AS n_matched_grams
+  FROM sh s JOIN ev USING (shingle)
+  WHERE s.doc_id % {DECON_MOD} <> {DECON_REM}
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_matched_grams FROM fl ORDER BY doc_id
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (curation.repetition_stats):
+    duplicate-bigram fraction + top-bigram fraction per document."""
+    from flagembedding_spark.operators.curation import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _repetition_oracle() -> str:
+    return f"""
+WITH tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+idx AS (SELECT unnest(generate_series(1, {MAX_TOKENS_BOUND})) AS i),
+bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+  FROM tt JOIN idx ON idx.i + 1 <= len(toks)
+),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         count(*) AS n_distinct, max(c) AS top_c
+  FROM bgc GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(1.0 - n_distinct / CAST(n_bigrams AS DOUBLE), 6) AS dup_bigram_frac,
+       round(top_c / CAST(n_bigrams AS DOUBLE), 6) AS top_bigram_frac
+FROM agg ORDER BY doc_id
+"""
+
+
+PIPELINE_ENTRIES["decontaminate"] = q_decontaminate
+PIPELINE_ORACLE_SQL["decontaminate"] = _decontaminate_oracle()
+PIPELINE_ENTRIES["repetition_stats"] = q_repetition_stats
+PIPELINE_ORACLE_SQL["repetition_stats"] = _repetition_oracle()

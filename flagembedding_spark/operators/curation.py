@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flagembedding_spark.functions.hashing import md5_prefix_long
+from flagembedding_spark.functions.tokenize import whitespace_tokens
 
 SAMPLE_RESOLUTION = 1_000_000
 
@@ -140,4 +141,88 @@ def dedup_segments_within_doc(
         "*",
         F.array_join(kept, sep).alias("cleaned"),
         (F.size(parts) - F.size(kept)).cast("int").alias("n_dropped"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    eval_id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-set decontamination (the GPT-3/PaLM n-gram overlap rule):
+    flag every training document sharing at least one ``n``-gram token
+    shingle with the evaluation benchmark set → (doc_id, n_matched_grams),
+    counting DISTINCT matched shingles per doc. Anti-join the result
+    against the corpus for the clean view.
+
+    Scale shape: both sides shingle with the dedup module's JVM-only
+    shingler; the match is one equi-join on the shingle key — the eval
+    side is benchmark-sized (≪ corpus) so Catalyst/AQE broadcasts it; the
+    count aggregates map-side. No O(corpus²) anything."""
+    from flagembedding_spark.operators.dedup import token_shingles
+
+    train_sh = token_shingles(docs, n, text_col, id_col)
+    eval_sh = (
+        token_shingles(eval_docs, n, eval_text_col, eval_id_col)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        train_sh.join(eval_sh, "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_matched_grams"))
+        .select(F.col("id").alias(id_col), "n_matched_grams")
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``n_bigrams``         total token bigrams (docs with < 2 tokens are
+                            absent — no bigram support)
+    - ``dup_bigram_frac``   1 − distinct/total bigrams (near-1 = loopy,
+                            boilerplate, or generated text)
+    - ``top_bigram_frac``   occurrences of the most frequent bigram /
+                            total (the Gopher top-n-gram fraction, n=2)
+
+    Fractions are single integer divisions rounded once — no float SUM,
+    cross-engine-stable. One explode + two aggregations; the bigram
+    stream stays partition-local until the (doc, bigram) count."""
+    toks = whitespace_tokens(text_col)
+    bg = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bgc = (
+        docs.select(F.col(id_col).alias("id"), F.explode(bg).alias("bg"))
+        .groupBy("id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = bgc.groupBy("id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    nb = F.col("n_bigrams").cast("double")
+    return agg.select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        F.round(F.lit(1.0) - F.col("n_distinct") / nb, round_to).alias(
+            "dup_bigram_frac"
+        ),
+        F.round(F.col("top_c") / nb, round_to).alias("top_bigram_frac"),
     )

@@ -74,6 +74,8 @@ STABLE_TAIL: list[str] = [
     "code_token_counts",
     "postings_stopfiltered",
     "impact_postings",
+    "hybrid_fusion",
+    "rerank_pairs",
 ]
 
 

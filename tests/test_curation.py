@@ -127,3 +127,57 @@ def test_dedup_segments_keeps_first_occurrence_order(spark):
     assert out[0] == ("b\na\nc", 2)
     assert out[1] == ("x", 2)
     assert out[2] == ("solo", 0)
+
+
+# ---------------------------------------------------------------------------
+# round 4: decontamination + repetition stats
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_hand_checked(spark):
+    from pyspark.sql import functions as F
+
+    from flagembedding_spark.operators.curation import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),    # shares 'the quick brown'
+            (1, "totally unrelated text here"),
+            (2, "quick brown fox again quick brown fox"),  # 2 distinct matches
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox runs")], "doc_id long, text string"
+    )
+    got = {
+        int(r["doc_id"]): int(r["n_matched_grams"])
+        for r in decontaminate(train, ev, n=3).collect()
+    }
+    # doc0 shares 'the quick brown' + 'quick brown fox' = 2 distinct;
+    # doc2 shares 'quick brown fox' = 1 (distinct shingles, repeats don't
+    # double-count); doc1 clean
+    assert got == {0: 2, 2: 1}
+
+
+def test_repetition_stats_hand_checked(spark):
+    from flagembedding_spark.operators.curation import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),     # bigrams: ab ba ab ba ab → 5 total, 2 distinct, top 3
+            (1, "w x y z"),         # 3 bigrams, all distinct, top 1
+            (2, "solo"),            # < 2 tokens → absent
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        int(r["doc_id"]): (
+            int(r["n_bigrams"]),
+            float(r["dup_bigram_frac"]),
+            float(r["top_bigram_frac"]),
+        )
+        for r in repetition_stats(docs).collect()
+    }
+    assert set(got) == {0, 1}
+    assert got[0] == (5, round(1 - 2 / 5, 6), round(3 / 5, 6))
+    assert got[1] == (3, 0.0, round(1 / 3, 6))
