@@ -40,7 +40,11 @@ def mlt_terms(
     tv = index.postings.join(F.broadcast(seeds), "docid").select(
         "docid", "term", "tf"
     )
-    scored = tv.join(index.dictionary.select("term", "idf"), "term").select(
+    # tv is seeds' vocabulary (seed-count × terms-per-doc — point-query
+    # sized); broadcast it into the big dictionary scan, never the reverse
+    scored = F.broadcast(tv).join(
+        index.dictionary.select("term", "idf"), "term"
+    ).select(
         F.col("docid").cast("string").alias("qid"),
         "term",
         F.round(F.col("tf") * F.col("idf"), 4).alias("weight4"),
