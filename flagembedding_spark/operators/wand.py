@@ -377,6 +377,41 @@ def _exact_query(qid: str, term_blocks: dict, k: int):
     return _topk_rows(qid, uniq, acc, k)
 
 
+def _conjunctive_query(qid: str, term_blocks: dict, k: int, m_required: int):
+    """Boolean-AND / minimum-should-match form of the exact kernel: a
+    term's postings are docid-unique, so a docid's occurrence count in the
+    concatenated decode stream IS its matched-distinct-term count — one
+    extra accumulate of ones, then the match filter before top-k.
+    ``m_required`` < 0 encodes min_should_match = |m_required| (at-least);
+    ≥ 0 means exact equality (the AND form, equality with the query's
+    distinct term count — a query with an OOV term passes an m_required
+    larger than the in-task term count and matches nothing, as Lucene)."""
+    all_d, all_s = [], []
+    for weight, firsts, lasts, ubs, blocks in term_blocks.values():
+        if not blocks:
+            continue
+        k1, b, avgdl = blocks[0][4], blocks[0][5], blocks[0][6]
+        d, t, l_ = decode_blocks_batch(
+            [blk[0] for blk in blocks], [blk[1] for blk in blocks],
+            [blk[2] for blk in blocks], [blk[3] for blk in blocks],
+        )
+        tf = t.astype(np.float64)
+        dl = l_.astype(np.float64)
+        all_d.append(d)
+        all_s.append(weight * tf / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+    if not all_d:
+        return []
+    d = np.concatenate(all_d)
+    s = np.concatenate(all_s)
+    uniq, acc = _accumulate(d, s)
+    _, cnt = _accumulate(d, np.ones(d.size, dtype=np.float64))
+    if m_required < 0:
+        mask = cnt >= -m_required
+    else:
+        mask = cnt == m_required
+    return _topk_rows(qid, uniq[mask], acc[mask], k)
+
+
 # single-slot cache for the two-phase candidate set: _two_phase_prune
 # persists its input so the metadata agg and the scoring job scan the
 # term-pruned blocks once, not twice. The SCORING job is lazy — the caller
@@ -735,6 +770,7 @@ def wand_topk(
     num_partitions: int | None = None,
     two_phase: bool | str = False,
     exclude_docids=None,
+    min_should_match: int | str = 0,
 ) -> DataFrame:
     """Top-k BM25 over the merged segment index.
 
@@ -762,7 +798,16 @@ def wand_topk(
     live-docs semantics: deleted docs vanish from results, surviving
     scores keep the index's STALE stats). Exact via over-fetch
     (k + |deleted| per query, then re-rank); capped at
-    MAX_QUERY_TIME_DELETES — larger sets must compact_store first."""
+    MAX_QUERY_TIME_DELETES — larger sets must compact_store first.
+
+    ``min_should_match``: same Boolean semantics as the DataFrame engine
+    (query.py) — int n keeps docs matching ≥ n distinct query terms,
+    ``'all'`` is conjunctive AND (OOV term ⇒ empty). Routes every query
+    through the conjunctive exact kernel (the WAND union-bound is a
+    DISJUNCTIVE bound and cannot prune under a match-count constraint),
+    term-docid-disjointness making the match count one extra vectorized
+    accumulate. Works in both layouts (a doc's postings are task-local in
+    each)."""
     cfg = seg.config
     k1, b = cfg.k1, cfg.b
     avgdl = seg.avgdl_effective
@@ -799,6 +844,23 @@ def wand_topk(
         mode = use_wand
     if mode not in ("auto", "pruned", "daat", "exact"):
         raise ValueError(f"unknown mode {mode!r}")
+    msm_of: dict[str, int] = {}
+    if min_should_match == "all":
+        # required = the query's DISTINCT term count incl. OOV terms
+        # (an OOV term makes the equality unsatisfiable → empty, as
+        # Lucene AND); query-set-sized collect
+        msm_of = {
+            r["qid"]: int(r["m"])
+            for r in query_terms(queries, qid_col, query_col)
+            .groupBy("qid")
+            .agg(F.count("*").alias("m"))
+            .collect()
+        }
+        mode = "conjunctive"
+    elif min_should_match:
+        if int(min_should_match) < 0:
+            raise ValueError("min_should_match must be >= 0 or 'all'")
+        mode = "conjunctive"
     if doc_layout and mode == "daat":
         # the DAAT cursor assumes per-term blocks are docid-disjoint; in the
         # doc layout a task may hold several buckets with overlapping ranges
@@ -835,13 +897,21 @@ def wand_topk(
                 )
                 for t, e in tb.items()
             }
-            fn = {
-                "auto": _auto_query,
-                "pruned": _pruned_query,
-                "daat": _wand_query,
-                "exact": _exact_query,
-            }[mode]
-            rows.extend(fn(q, packed, kk))
+            if mode == "conjunctive":
+                m_req = (
+                    msm_of.get(q, 0)
+                    if msm_of
+                    else -int(min_should_match)
+                )
+                rows.extend(_conjunctive_query(q, packed, kk, m_req))
+            else:
+                fn = {
+                    "auto": _auto_query,
+                    "pruned": _pruned_query,
+                    "daat": _wand_query,
+                    "exact": _exact_query,
+                }[mode]
+                rows.extend(fn(q, packed, kk))
         if rows:
             cols = list(zip(*rows))
             yield pa.RecordBatch.from_arrays(

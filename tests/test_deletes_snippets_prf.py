@@ -532,3 +532,28 @@ def test_proximity_ordered_vs_unordered(spark):
     # doc2: a@0 b@1 a@2 → unordered pairs (0,1),(1,2)=2; ordered only (0,1)
     assert un == {0: 1, 1: 1, 2: 2}
     assert od == {0: 1, 2: 1}
+
+
+def test_wand_min_should_match_matches_dataframe(spark, index, corpus, queries):
+    """Segment-path conjunctive/min_should_match == DataFrame engine, both
+    layouts."""
+    from flagembedding_spark.operators.segments import (
+        build_doc_partitioned_segments,
+    )
+
+    seg = merge_segments(build_segments(index))
+    seg.blocks = seg.blocks.cache()
+    dseg = build_doc_partitioned_segments(index, n_parts=4)
+    qs = spark.createDataFrame(
+        [("m1", "get_er_0 merge_er_6 read_er_4"),
+         ("m2", "get_er_0 zz_oov_token"), ("m3", "public const")],
+        ["query_id", "query"],
+    )
+    for msm in ("all", 2):
+        want = _rows(bm25_topk(index, qs, k=10, min_should_match=msm))
+        got_t = _rows(wand_topk(seg, qs, k=10, min_should_match=msm))
+        got_d = _rows(wand_topk(dseg, qs, k=10, min_should_match=msm))
+        assert got_t == want, ("term", msm)
+        assert got_d == want, ("doc", msm)
+    # non-vacuity: the 'all' case must produce SOME rows for m1/m3
+    assert _rows(bm25_topk(index, qs, k=10, min_should_match="all"))
