@@ -235,7 +235,19 @@ def _wand_query(qid: str, term_blocks: dict, k: int):
     return [(qid, -nd, s, r + 1) for r, (s, nd) in enumerate(out)]
 
 
-def _pruned_query(qid: str, term_blocks: dict, k: int):
+def _mask_dead(d: np.ndarray, s: np.ndarray, dead):
+    """Drop tombstoned docids from a decoded (docid, score) stream. Applied
+    IMMEDIATELY after decode in every kernel so deleted docs cease to exist
+    before any θ bootstrap / bound / accumulation — pruning thresholds are
+    then derived from survivors only, which keeps pruning score-safe under
+    deletion (a θ that counted deleted docs could over-prune)."""
+    if dead is None or len(dead) == 0 or d.size == 0:
+        return d, s
+    keep = ~np.isin(d, dead)
+    return d[keep], s[keep]
+
+
+def _pruned_query(qid: str, term_blocks: dict, k: int, dead=None):
     """Vectorized score-safe pruning (the default scale path).
 
     Classic DAAT block-max WAND (``_wand_query``) is per-pivot Python — it
@@ -274,7 +286,9 @@ def _pruned_query(qid: str, term_blocks: dict, k: int):
         )
         tf = t.astype(np.float64)
         dl = l_.astype(np.float64)
-        return d, e[0] * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        return _mask_dead(
+            d, e[0] * tf / (tf + k1 * (1.0 - b + b * dl / avgdl)), dead
+        )
 
     # 1. bootstrap theta from the strongest term
     boot = int(np.argmax(total_ubs))
@@ -334,7 +348,7 @@ def _pruned_query(qid: str, term_blocks: dict, k: int):
     return _topk_rows(qid, cand, acc, k)
 
 
-def _auto_query(qid: str, term_blocks: dict, k: int):
+def _auto_query(qid: str, term_blocks: dict, k: int, dead=None):
     """Per-query mode pick from the term upper-bound spread (no decoding):
     union-bound pruning can only exclude a term when some UB prefix sum stays
     below θ, and θ is at most the strongest term's UB — so if the weakest
@@ -343,17 +357,17 @@ def _auto_query(qid: str, term_blocks: dict, k: int):
     plausible, ``_pruned_query`` is chosen; it degenerates to exact when θ
     turns out too low, so auto never loses more than the bootstrap pass."""
     if len(term_blocks) <= 1:
-        return _exact_query(qid, term_blocks, k)
+        return _exact_query(qid, term_blocks, k, dead)
     ubs = [
         (float(e[3].max()) if len(e[3]) else 0.0) * e[0]
         for e in term_blocks.values()
     ]
     if min(ubs) < 0.5 * max(ubs):
-        return _pruned_query(qid, term_blocks, k)
-    return _exact_query(qid, term_blocks, k)
+        return _pruned_query(qid, term_blocks, k, dead)
+    return _exact_query(qid, term_blocks, k, dead)
 
 
-def _exact_query(qid: str, term_blocks: dict, k: int):
+def _exact_query(qid: str, term_blocks: dict, k: int, dead=None):
     """Exact path: decode every block of every query term (ONE batched
     varint pass per term per stream), vectorized accumulate, top-k."""
     all_d, all_s = [], []
@@ -367,8 +381,11 @@ def _exact_query(qid: str, term_blocks: dict, k: int):
         )
         tf = t.astype(np.float64)
         dl = l_.astype(np.float64)
-        all_d.append(d)
-        all_s.append(weight * tf / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+        dm, sm = _mask_dead(
+            d, weight * tf / (tf + k1 * (1.0 - b + b * dl / avgdl)), dead
+        )
+        all_d.append(dm)
+        all_s.append(sm)
     if not all_d:
         return []
     d = np.concatenate(all_d)
@@ -377,7 +394,8 @@ def _exact_query(qid: str, term_blocks: dict, k: int):
     return _topk_rows(qid, uniq, acc, k)
 
 
-def _conjunctive_query(qid: str, term_blocks: dict, k: int, m_required: int):
+def _conjunctive_query(qid: str, term_blocks: dict, k: int, m_required: int,
+                       dead=None):
     """Boolean-AND / minimum-should-match form of the exact kernel: a
     term's postings are docid-unique, so a docid's occurrence count in the
     concatenated decode stream IS its matched-distinct-term count — one
@@ -397,8 +415,11 @@ def _conjunctive_query(qid: str, term_blocks: dict, k: int, m_required: int):
         )
         tf = t.astype(np.float64)
         dl = l_.astype(np.float64)
-        all_d.append(d)
-        all_s.append(weight * tf / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+        dm, sm = _mask_dead(
+            d, weight * tf / (tf + k1 * (1.0 - b + b * dl / avgdl)), dead
+        )
+        all_d.append(dm)
+        all_s.append(sm)
     if not all_d:
         return []
     d = np.concatenate(all_d)
@@ -835,7 +856,11 @@ def wand_topk(
                 f"{len(excl)} tombstones exceed the query-time cap "
                 f"({MAX_QUERY_TIME_DELETES}) — run compact_store first"
             )
-    kk = k + len(excl)
+    # tombstones are masked IN-KERNEL immediately after decode (_mask_dead),
+    # so every θ/bound already reflects survivors — no over-fetch needed
+    # (the r4-initial k+|deleted| over-fetch cost 1.6× at 2 M docs with a
+    # 1000-doc tombstone set because pruning thresholds collapsed)
+    kk = k
     if use_wand is True:
         mode = "auto"
     elif use_wand is False:
@@ -861,10 +886,15 @@ def wand_topk(
         if int(min_should_match) < 0:
             raise ValueError("min_should_match must be >= 0 or 'all'")
         mode = "conjunctive"
+    if excl and mode == "daat":
+        # the classic per-pivot cursor has no mask hook; the vectorized
+        # pruned kernel is mask-aware and at least as fast
+        mode = "pruned"
     if doc_layout and mode == "daat":
         # the DAAT cursor assumes per-term blocks are docid-disjoint; in the
         # doc layout a task may hold several buckets with overlapping ranges
         raise ValueError("mode='daat' requires the term-bucketed layout")
+    dead_arr = np.asarray(excl, dtype=np.int64) if excl else None
 
     def score_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         per_q: dict[str, dict] = {}
@@ -903,15 +933,18 @@ def wand_topk(
                     if msm_of
                     else -int(min_should_match)
                 )
-                rows.extend(_conjunctive_query(q, packed, kk, m_req))
+                rows.extend(
+                    _conjunctive_query(q, packed, kk, m_req, dead_arr)
+                )
+            elif mode == "daat":
+                rows.extend(_wand_query(q, packed, kk))
             else:
                 fn = {
                     "auto": _auto_query,
                     "pruned": _pruned_query,
-                    "daat": _wand_query,
                     "exact": _exact_query,
                 }[mode]
-                rows.extend(fn(q, packed, kk))
+                rows.extend(fn(q, packed, kk, dead_arr))
         if rows:
             cols = list(zip(*rows))
             yield pa.RecordBatch.from_arrays(
@@ -937,19 +970,6 @@ def wand_topk(
         out = (
             out.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= kk)
-            .select("qid", "docid", "score", "rank")
-        )
-    if excl:
-        # tombstone filter + re-rank: the kernels over-fetched k+|deleted|,
-        # so after dropping deleted docs every query still has ≥ k true
-        # survivors (tiny window — ≤ kk rows per query reach it)
-        from pyspark.sql.window import Window
-
-        w2 = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
-        out = (
-            out.filter(~F.col("docid").isin(excl))
-            .withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= k)
             .select("qid", "docid", "score", "rank")
         )
     return out

@@ -38,7 +38,7 @@ from flagembedding_spark.operators.wand import (
 )
 
 
-def _exact_query_mt(qid, term_blocks, k, pool, chunk=4096):
+def _exact_query_mt(qid, term_blocks, k, pool, chunk=4096, dead=None):
     """Thread-parallel twin of wand._exact_query for HEAD (stopword-laden)
     queries: per-(term, block-chunk) decode+score jobs fan out over the
     pool (varint decode is numpy — the GIL is released in the hot loops),
@@ -66,7 +66,11 @@ def _exact_query_mt(qid, term_blocks, k, pool, chunk=4096):
         )
         tf = t.astype(np.float64)
         dl = l_.astype(np.float64)
-        return d, w * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        from flagembedding_spark.operators.wand import _mask_dead
+
+        return _mask_dead(
+            d, w * tf / (tf + k1 * (1.0 - b + b * dl / avgdl)), dead
+        )
 
     parts = list(pool.map(work, jobs))
     d = np.concatenate([p[0] for p in parts])
@@ -186,9 +190,10 @@ class SegmentReader:
         # query's decode volume is multi-second (≳16M postings), where
         # per-job overhead is trivially amortized.
         big = sum(len(e[4]) for e in packed.values()) >= 131_072
-        # tombstones: over-fetch k + |deleted| (each deleted doc occupies at
-        # most one slot), then drop + re-rank — exact, stale-stats semantics
-        kk = k + len(self._dead)
+        # tombstones are masked in-kernel right after decode (wand._mask_dead
+        # — same contract as wand_topk): θ/bounds reflect survivors, no
+        # over-fetch
+        dead = self.tombstones if self.tombstones.size else None
         if self._pool is not None and big and mode in ("auto", "exact"):
             # same per-query pick as wand._auto_query (UB spread), but the
             # exact branch — the head-query hot path — goes multi-threaded
@@ -200,30 +205,17 @@ class SegmentReader:
                 ]
                 use_exact = min(ubs) >= 0.5 * max(ubs)
             if use_exact:
-                rows = _exact_query_mt("q", packed, kk, self._pool)
+                rows = _exact_query_mt("q", packed, k, self._pool, dead=dead)
             else:
-                rows = _pruned_query("q", packed, kk)
+                rows = _pruned_query("q", packed, k, dead=dead)
         else:
             fn = {
                 "auto": _auto_query,
                 "pruned": _pruned_query,
                 "exact": _exact_query,
             }[mode]
-            rows = fn("q", packed, kk)
-        return self._live_topk(rows, k)
-
-    def _live_topk(self, rows, k):
-        """Drop tombstoned docids from rank-ordered kernel rows, re-rank,
-        truncate to k. No-op (beyond tuple reshape) without tombstones."""
-        if not self._dead:
-            return [(d, s, r) for _, d, s, r in rows]
-        out = []
-        for _, d, s, _r in rows:
-            if d not in self._dead:
-                out.append((d, s, len(out) + 1))
-                if len(out) == k:
-                    break
-        return out
+            rows = fn("q", packed, k, dead)
+        return [(d, s, r) for _, d, s, r in rows]
 
     # -- positional point queries (store must be built with positions) ----
 
