@@ -331,6 +331,33 @@ def main() -> None:
     timings["bm25_single_query_p50"] = lat[len(lat) // 2]
     timings["bm25_single_query_p95"] = p95
 
+    # --- round-4 retrieval surface over the cached documents index ---
+    from flagembedding_spark.operators.mlt import more_like_this
+    from flagembedding_spark.operators.termquery import prefix_search_topk
+
+    t = time.perf_counter()
+    bm25_topk(idx, _queries_df(spark), k=TOPK, min_should_match="all").count()
+    timings["bm25_conjunctive_batch"] = time.perf_counter() - t
+    t = time.perf_counter()
+    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dead_df = docs_df.filter("doc_id % 7 = 3").select(
+        docs_df.doc_id.alias("docid")
+    )
+    bm25_topk(idx, _queries_df(spark), k=TOPK, exclude_docids=dead_df).count()
+    timings["bm25_deleted_batch"] = time.perf_counter() - t
+    t = time.perf_counter()
+    seeds = docs_df.filter("doc_id % 67 = 11").select(
+        docs_df.doc_id.alias("docid")
+    )
+    more_like_this(idx, seeds, m_terms=5, k=TOPK).count()
+    timings["more_like_this_batch"] = time.perf_counter() - t
+    t = time.perf_counter()
+    ps = spark.createDataFrame(
+        [("pf1", "sp"), ("pf2", "du"), ("pf3", "wi")], ["query_id", "prefix"]
+    )
+    prefix_search_topk(idx, ps, k=TOPK).count()
+    timings["prefix_search_batch"] = time.perf_counter() - t
+
     # --- scale path: segment build + merge + WAND query over documents ---
     from flagembedding_spark.config import BM25Config as _Cfg
     from flagembedding_spark.operators.segments import build_segments, merge_segments

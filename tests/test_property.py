@@ -171,3 +171,53 @@ def test_phrase_counts_match_brute_python_property(docs_tokens, m):
         if starts:
             got[i] = len(starts)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 4: Boolean/expansion properties
+# ---------------------------------------------------------------------------
+
+def test_msm_monotone_and_subset(spark, tiny_corpus):
+    """min_should_match=n results are a subset of n-1's (same scores), and
+    conjunctive ⊆ every msm level."""
+    from flagembedding_spark.config import BM25Config
+    from flagembedding_spark.operators.index_build import build_index
+    from flagembedding_spark.operators.query import bm25_topk
+
+    idx = build_index(tiny_corpus, BM25Config())
+    # in-vocab code-corpus terms (synth_corpus identifier vocabulary) —
+    # off-vocab queries would make every set empty and the test vacuous
+    qs = spark.createDataFrame(
+        [("p1", "get_er_0 set_er_1 merge_er_6"), ("p2", "public const class")],
+        ["query_id", "query"],
+    )
+    def docset(msm):
+        return {
+            (r["qid"], int(r["docid"]))
+            for r in bm25_topk(idx, qs, k=10_000, min_should_match=msm).collect()
+        }
+    d0, d1, d2, d3 = docset(0), docset(1), docset(2), docset(3)
+    dall = docset("all")
+    assert d0 == d1          # every match has >= 1 term
+    assert d2 <= d1 and d3 <= d2
+    assert dall <= d3 or dall <= d2  # 'all' is the tightest (3-term queries)
+    assert d2  # non-vacuous
+
+
+def test_fuzzy_includes_exact_term(spark, tiny_corpus):
+    """FuzzyQuery property: when the query term itself is in the
+    dictionary, the expansion always contains it."""
+    from flagembedding_spark.config import BM25Config
+    from flagembedding_spark.operators.index_build import build_index
+    from flagembedding_spark.operators.termquery import expand_fuzzy
+
+    idx = build_index(tiny_corpus, BM25Config())
+    terms = [r["term"] for r in idx.dictionary.limit(5).collect()]
+    ts = spark.createDataFrame(
+        [(f"f{i}", t) for i, t in enumerate(terms)], ["query_id", "qterm"]
+    )
+    got = {}
+    for r in expand_fuzzy(idx, ts, max_edits=1, max_expansions=1000).collect():
+        got.setdefault(r["qid"], set()).add(r["term"])
+    for i, t in enumerate(terms):
+        assert t in got[f"f{i}"], t
