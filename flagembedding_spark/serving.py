@@ -79,6 +79,35 @@ def _exact_query_mt(qid, term_blocks, k, pool, chunk=4096, dead=None):
     return _topk_rows(qid, uniq, acc, k)
 
 
+def _levenshtein_leq(a: str, b: str, k: int) -> bool:
+    """Banded Levenshtein ≤ k check (O(k·max(len)) per pair) — the
+    serving-side stand-in for Lucene's Levenshtein automaton."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    if a == b:
+        return True
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo = max(1, i - k)
+        hi = min(len(b), i + k)
+        if lo > 1:
+            cur[lo - 1] = k + 1
+        for j in range(lo, hi + 1):
+            cb = b[j - 1]
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1 if j - 1 >= lo - 1 else k + 1,
+                prev[j - 1] + (ca != cb),
+            )
+        if hi < len(b):
+            cur[hi + 1 :] = [k + 1] * (len(b) - hi)
+        if min(cur[max(0, lo - 1) :]) > k:
+            return False
+        prev = cur
+    return prev[len(b)] <= k
+
+
 class SegmentReader:
     """Holds dataset handles + corpus stats; one instance serves many
     queries (the handles cache parquet footers — the 'index open' cost).
@@ -135,15 +164,9 @@ class SegmentReader:
             )
         }
 
-    def topk(self, query: str, k: int = 10, mode: str = "auto"):
-        """→ [(docid, score, rank)] — BM25 top-k, rank-identical to
-        wand_topk (score DESC, docid ASC ties). ``mode`` ∈ auto/pruned/exact
-        with the same semantics as wand_topk's kernels (shared code)."""
-        qtf = Counter(query.split(" "))
-        info = self.lookup_terms(list(qtf))
-        if not info:
-            return []
-        buckets = sorted({b for _, b in info.values()})
+    def _fetch_packed(self, weights: dict, buckets: list[int]):
+        """Fetch + pack the compressed blocks for ``weights`` {term: w}:
+        the shared kernel-input form (one pruned parquet read)."""
         tbl = self.blocks.to_table(
             columns=[
                 "term", "docid_first", "docid_last", "max_tfn",
@@ -151,7 +174,7 @@ class SegmentReader:
             ],
             filter=(
                 ds.field("bucket").isin(buckets)
-                & ds.field("term").isin(list(info))
+                & ds.field("term").isin(list(weights))
             ),
         )
         term_blocks: dict = {}
@@ -163,15 +186,14 @@ class SegmentReader:
         tfs = tbl.column("tfs").to_pylist()
         dls = tbl.column("dls").to_pylist()
         for i, t in enumerate(terms):
-            w = qtf[t] * info[t][0] * (self.k1 + 1.0)
-            ent = term_blocks.setdefault(t, [w, [], [], [], []])
+            ent = term_blocks.setdefault(t, [weights[t], [], [], [], []])
             ent[1].append(firsts[i])
             ent[2].append(lasts[i])
             ent[3].append(ubs[i])
             ent[4].append(
                 (firsts[i], docs[i], tfs[i], dls[i], self.k1, self.b, self.avgdl)
             )
-        packed = {
+        return {
             t: (
                 e[0],
                 np.asarray(e[1], dtype=np.int64),
@@ -181,6 +203,33 @@ class SegmentReader:
             )
             for t, e in term_blocks.items()
         }
+
+    def topk(self, query: str, k: int = 10, mode: str = "auto",
+             min_should_match: int | str = 0):
+        """→ [(docid, score, rank)] — BM25 top-k, rank-identical to
+        wand_topk (score DESC, docid ASC ties). ``mode`` ∈ auto/pruned/exact
+        with the same semantics as wand_topk's kernels (shared code).
+        ``min_should_match``: the same Boolean semantics as the batch
+        engines (int n / 'all'; conjunctive exact kernel)."""
+        qtf = Counter(query.split(" "))
+        info = self.lookup_terms(list(qtf))
+        if not info:
+            return []
+        buckets = sorted({b for _, b in info.values()})
+        packed = self._fetch_packed(
+            {t: qtf[t] * info[t][0] * (self.k1 + 1.0) for t in info}, buckets
+        )
+        dead0 = self.tombstones if self.tombstones.size else None
+        if min_should_match:
+            from flagembedding_spark.operators.wand import _conjunctive_query
+
+            m_req = (
+                len(qtf)  # distinct tokens incl. OOV (AND: OOV ⇒ empty)
+                if min_should_match == "all"
+                else -int(min_should_match)
+            )
+            rows = _conjunctive_query("q", packed, k, m_req, dead0)
+            return [(d, s, r) for _, d, s, r in rows]
         # fan out only when the decode volume amortizes thread overhead.
         # Post-decode-overhaul retune (VERDICT r03 ask #5): interleaved
         # median timings at 17k–69k blocks show single-thread and pooled
@@ -216,6 +265,84 @@ class SegmentReader:
             }[mode]
             rows = fn("q", packed, k, dead)
         return [(d, s, r) for _, d, s, r in rows]
+
+    # -- multi-term point queries (Lucene Prefix/FuzzyQuery analogs) ------
+
+    def _expanded_topk(self, expansion: list[tuple[str, float, int]],
+                       k: int, max_expansions: int):
+        """Score a capped expansion [(term, idf, bucket)] as a BM25
+        disjunction with qtf = 1 — the same rewrite rule as the Spark
+        operators (termquery.py): cap by (df DESC, term ASC)."""
+        if not expansion:
+            return []
+        weights = {t: idf * (self.k1 + 1.0) for t, idf, _ in expansion}
+        buckets = sorted({b for _, _, b in expansion})
+        packed = self._fetch_packed(weights, buckets)
+        dead = self.tombstones if self.tombstones.size else None
+        rows = _auto_query("q", packed, k, dead)
+        return [(d, s, r) for _, d, s, r in rows]
+
+    def prefix_topk(self, prefix: str, k: int = 10,
+                    max_expansions: int = 50):
+        """PrefixQuery point form: dictionary range scan
+        [prefix, prefix+∞) — plain comparisons, so parquet row-group
+        min/max stats prune — capped like termquery.expand_prefix."""
+        tbl = self.dictionary.to_table(
+            columns=["term", "df", "idf", "bucket"],
+            filter=(
+                (ds.field("term") >= prefix)
+                & (ds.field("term") < prefix + "￿")
+            ),
+        )
+        rows = sorted(
+            (
+                r
+                for r in zip(
+                    tbl.column("term").to_pylist(),
+                    tbl.column("df").to_pylist(),
+                    tbl.column("idf").to_pylist(),
+                    tbl.column("bucket").to_pylist(),
+                )
+                # exact client-side check — the range scan is the pruning
+                # superset (the U+FFFF sentinel bound is not airtight for
+                # supplementary-plane suffixes)
+                if r[0].startswith(prefix)
+            ),
+            key=lambda r: (-r[1], r[0]),
+        )[:max_expansions]
+        return self._expanded_topk(
+            [(t, float(i), int(b)) for t, _, i, b in rows], k, max_expansions
+        )
+
+    def fuzzy_topk(self, qterm: str, k: int = 10, max_edits: int = 1,
+                   max_expansions: int = 50):
+        """FuzzyQuery point form: Levenshtein ≤ max_edits expansion. The
+        dictionary scan fetches only the utf8-length window (pushed as a
+        computed filter would not prune; the window check runs client-side
+        over the term column — dictionary-sized, compact). Intended for
+        point/debug use; the Spark operator is the batch path."""
+        import pyarrow.compute as pc
+
+        tbl = self.dictionary.to_table(
+            columns=["term", "df", "idf", "bucket"]
+        )
+        lens = pc.utf8_length(tbl.column("term")).to_numpy(zero_copy_only=False)
+        m = np.abs(lens - len(qterm)) <= max_edits
+        cand = [
+            (t, d, i, b)
+            for keep, t, d, i, b in zip(
+                m.tolist(),
+                tbl.column("term").to_pylist(),
+                tbl.column("df").to_pylist(),
+                tbl.column("idf").to_pylist(),
+                tbl.column("bucket").to_pylist(),
+            )
+            if keep and _levenshtein_leq(t, qterm, max_edits)
+        ]
+        rows = sorted(cand, key=lambda r: (-r[1], r[0]))[:max_expansions]
+        return self._expanded_topk(
+            [(t, float(i), int(b)) for t, _, i, b in rows], k, max_expansions
+        )
 
     # -- positional point queries (store must be built with positions) ----
 

@@ -557,3 +557,88 @@ def test_wand_min_should_match_matches_dataframe(spark, index, corpus, queries):
         assert got_d == want, ("doc", msm)
     # non-vacuity: the 'all' case must produce SOME rows for m1/m3
     assert _rows(bm25_topk(index, qs, k=10, min_should_match="all"))
+
+
+def test_bm25f_index_feeds_segment_path(spark):
+    """A BM25F weighted-field index is a standard InvertedIndex — the
+    segment build + WAND path must give the same top-k as the DataFrame
+    engine over it."""
+    from flagembedding_spark.operators.bm25f import build_bm25f_index
+
+    docs = spark.createDataFrame(
+        [
+            (0, "needle alpha", "beta gamma delta"),
+            (1, "alpha beta", "needle needle epsilon"),
+            (2, "zeta eta", "theta iota kappa"),
+            (3, "needle beta", "alpha alpha gamma"),
+        ],
+        "doc_id long, title string, body string",
+    )
+    idx = build_bm25f_index(docs, [("title", 2), ("body", 1)], config=CFG)
+    qs = spark.createDataFrame(
+        [("s1", "needle alpha"), ("s2", "theta")], ["query_id", "query"]
+    )
+    want = _rows(bm25_topk(idx, qs, k=10))
+    assert want
+    seg = merge_segments(build_segments(idx))
+    got = _rows(wand_topk(seg, qs, k=10))
+    assert got == want
+
+
+def test_serving_reader_msm_prefix_fuzzy_parity(spark, tmp_path):
+    """The Spark-free reader's conjunctive / prefix / fuzzy point queries
+    must match the Spark batch operators."""
+    from flagembedding_spark.operators.termquery import (
+        fuzzy_search_topk,
+        prefix_search_topk,
+    )
+    from flagembedding_spark.serving import SegmentReader
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spore hash needle alpha"),
+            (1, "spin dash needle needle beta"),
+            (2, "spark hash alpha alpha"),
+            (3, "gamma delta epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, CFG, content_col="text", docid_long="doc_id")
+    seg = merge_segments(build_segments(idx))
+    root = str(tmp_path / "store")
+    save_segments(seg, root)
+    rd = SegmentReader(root, n_threads=1)
+
+    # conjunctive
+    qs = spark.createDataFrame(
+        [("c", "spark hash alpha")], ["query_id", "query"]
+    )
+    want = [
+        (int(r["docid"]), round(float(r["score"]), 9), int(r["rank"]))
+        for r in bm25_topk(idx, qs, k=10, min_should_match="all")
+        .orderBy("rank").collect()
+    ]
+    got = [
+        (d, round(s, 9), r)
+        for d, s, r in rd.topk("spark hash alpha", k=10, min_should_match="all")
+    ]
+    assert want and got == want
+    assert rd.topk("spark zz_oov", k=10, min_should_match="all") == []
+
+    # prefix
+    ps = spark.createDataFrame([("p", "sp")], ["query_id", "prefix"])
+    want = [
+        (int(r["docid"]), round(float(r["score"]), 9), int(r["rank"]))
+        for r in prefix_search_topk(idx, ps, k=10).orderBy("rank").collect()
+    ]
+    got = [(d, round(s, 9), r) for d, s, r in rd.prefix_topk("sp", k=10)]
+    assert want and got == want
+
+    # fuzzy
+    ts = spark.createDataFrame([("f", "spark")], ["query_id", "qterm"])
+    want = [
+        (int(r["docid"]), round(float(r["score"]), 9), int(r["rank"]))
+        for r in fuzzy_search_topk(idx, ts, k=10).orderBy("rank").collect()
+    ]
+    got = [(d, round(s, 9), r) for d, s, r in rd.fuzzy_topk("spark", k=10)]
+    assert want and got == want
