@@ -694,6 +694,7 @@ def candidate_block_plan(
     query_col: str = "query",
     num_partitions: int | None = None,
     two_phase: bool | str = False,
+    qterms: DataFrame | None = None,
 ):
     """The pre-shuffle block plan shared by wand_topk (and measurable on its
     own — bench counts its rows to record shuffle-block reduction):
@@ -704,7 +705,14 @@ def candidate_block_plan(
     avgdl = seg.avgdl_effective
     spark = queries.sparkSession
 
-    qt = query_terms(queries, qid_col, query_col)
+    # ``qterms`` overrides tokenization with a precomputed (qid, term, qtf)
+    # set — the hook that runs multi-term EXPANSIONS (prefix / fuzzy /
+    # wildcard / MLT term selections) on this scale path
+    qt = (
+        qterms.select("qid", "term", "qtf")
+        if qterms is not None
+        else query_terms(queries, qid_col, query_col)
+    )
 
     # the query's term set is tiny and known up front — push it as a literal
     # IN() into the block scan (parquet row-group + dictionary-page skipping)
@@ -792,6 +800,7 @@ def wand_topk(
     two_phase: bool | str = False,
     exclude_docids=None,
     min_should_match: int | str = 0,
+    qterms: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 over the merged segment index.
 
@@ -834,7 +843,8 @@ def wand_topk(
     avgdl = seg.avgdl_effective
     spark = queries.sparkSession
     cand, n_part, doc_layout = candidate_block_plan(
-        seg, queries, k, qid_col, query_col, num_partitions, two_phase
+        seg, queries, k, qid_col, query_col, num_partitions, two_phase,
+        qterms,
     )
     if doc_layout:
         # doc layout: co-locate by docid bucket — a hot query's blocks spread
@@ -874,10 +884,14 @@ def wand_topk(
         # required = the query's DISTINCT term count incl. OOV terms
         # (an OOV term makes the equality unsatisfiable → empty, as
         # Lucene AND); query-set-sized collect
+        _qt_for_m = (
+            qterms.select("qid", "term")
+            if qterms is not None
+            else query_terms(queries, qid_col, query_col)
+        )
         msm_of = {
             r["qid"]: int(r["m"])
-            for r in query_terms(queries, qid_col, query_col)
-            .groupBy("qid")
+            for r in _qt_for_m.groupBy("qid")
             .agg(F.count("*").alias("m"))
             .collect()
         }

@@ -642,3 +642,39 @@ def test_serving_reader_msm_prefix_fuzzy_parity(spark, tmp_path):
     ]
     got = [(d, round(s, 9), r) for d, s, r in rd.fuzzy_topk("spark", k=10)]
     assert want and got == want
+
+
+def test_expansions_on_segment_path(spark):
+    """Prefix/fuzzy expansions run on the segment/WAND path via the
+    qterms override — identical to the DataFrame expansion engine."""
+    from flagembedding_spark.operators.termquery import (
+        expand_fuzzy,
+        expand_prefix,
+        fuzzy_search_topk,
+        prefix_search_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spore hash needle"),
+            (1, "spin dash needle needle"),
+            (2, "spark hash alpha alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, CFG, content_col="text", docid_long="doc_id")
+    seg = merge_segments(build_segments(idx))
+    ps = spark.createDataFrame([("p", "sp")], ["query_id", "prefix"])
+    want = _rows(prefix_search_topk(idx, ps, k=10))
+    got = _rows(
+        wand_topk(seg, ps.select("query_id"), k=10,
+                  qterms=expand_prefix(idx, ps))
+    )
+    assert want and got == want
+    ts = spark.createDataFrame([("f", "spark")], ["query_id", "qterm"])
+    want = _rows(fuzzy_search_topk(idx, ts, k=10))
+    got = _rows(
+        wand_topk(seg, ts.select("query_id"), k=10,
+                  qterms=expand_fuzzy(idx, ts))
+    )
+    assert want and got == want
