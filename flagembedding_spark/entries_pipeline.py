@@ -2954,3 +2954,54 @@ PIPELINE_ENTRIES["decontaminate"] = q_decontaminate
 PIPELINE_ORACLE_SQL["decontaminate"] = _decontaminate_oracle()
 PIPELINE_ENTRIES["repetition_stats"] = q_repetition_stats
 PIPELINE_ORACLE_SQL["repetition_stats"] = _repetition_oracle()
+
+
+EXPLAIN_K = 3
+
+
+def q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene explain() analog: per-term score breakdown for each query's
+    top-3 docs (operators/query.py bm25_explain)."""
+    from flagembedding_spark.operators.query import bm25_explain
+
+    idx = build_doc_index(spark, sf_dir)
+    return bm25_explain(idx, _queries_df(spark), k=EXPLAIN_K)
+
+
+def _explain_oracle() -> str:
+    from flagembedding_spark.entries import (
+        _BASE_CTES,
+        _qterm_ctes,
+        _scored_sql,
+    )
+
+    return f"""
+WITH {_BASE_CTES.strip()},
+{_qterm_ctes().strip()},
+{_scored_sql(K1, B, True).strip()},
+ranked AS (
+  SELECT qid, docid, round(score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY round(score, 4) DESC, docid ASC) AS INT) AS rank
+  FROM scored
+),
+top3 AS (SELECT qid, docid, rank, score FROM ranked WHERE rank <= {EXPLAIN_K})
+SELECT r.qid, r.docid, r.rank, t.term,
+       round(q.qtf
+             * ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * ({K1} + 1.0) * t.tf
+             / (t.tf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl)), 4)
+         AS partial4,
+       r.score AS score4
+FROM top3 r
+JOIN tf t ON t.doc_id = r.docid
+JOIN qterms q ON q.qid = r.qid AND q.term = t.term
+JOIN df d ON d.term = t.term
+JOIN doclen l ON l.doc_id = t.doc_id
+CROSS JOIN stats s
+ORDER BY r.qid, r.rank, t.term
+"""
+
+
+PIPELINE_ENTRIES["bm25_explain"] = q_bm25_explain
+PIPELINE_ORACLE_SQL["bm25_explain"] = _explain_oracle()

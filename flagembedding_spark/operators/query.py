@@ -192,3 +192,49 @@ def reference_result_arrays(
             ),
         ).alias("scores"),
     )
+
+
+def bm25_explain(
+    index: InvertedIndex,
+    queries: DataFrame,
+    k: int = 3,
+    k1: float | None = None,
+    b: float | None = None,
+    qid_col: str = "query_id",
+    query_col: str = "query",
+    round_to: int = 4,
+) -> DataFrame:
+    """Lucene ``explain()`` analog: per-term score breakdown for each
+    query's top-``k`` docs → (qid, docid, rank, term, partial4, score4).
+    ``partial4`` is the term's contribution (qtf·idf·(k1+1)·tf / denom),
+    rounded once per row — no float SUM in the emitted columns beyond the
+    already-rounded total. The top-k set comes from the standard engine;
+    the breakdown joins the tiny result set back into partial scores
+    (broadcast), so the corpus is scanned exactly as in bm25_topk."""
+    top = bm25_topk(
+        index, queries, k=k, k1=k1, b=b, qid_col=qid_col,
+        query_col=query_col, round_scores=round_to,
+    )
+    qt = query_terms(queries, qid_col, query_col)
+    # bm25_partial_scores drops the term label, so the same expressions are
+    # rebuilt here with the term kept (same plan shape)
+    cfg = index.config
+    k1v = cfg.k1 if k1 is None else k1
+    bv = cfg.b if b is None else b
+    avgdl = index.avgdl_effective
+    qt_idf = index.dictionary.join(F.broadcast(qt), "term").select(
+        "term", "qid", "qtf", "idf"
+    )
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    denom = tf + F.lit(k1v) * (F.lit(1.0 - bv) + F.lit(bv) * dl / F.lit(avgdl))
+    partial = F.col("qtf") * F.col("idf") * F.lit(k1v + 1.0) * tf / denom
+    parts = index.postings.join(F.broadcast(qt_idf), "term").select(
+        "qid", "docid", "term", F.round(partial, round_to).alias("partial4")
+    )
+    return parts.join(
+        F.broadcast(top), ["qid", "docid"]
+    ).select(
+        "qid", "docid", "rank", "term", "partial4",
+        F.col("score").alias("score4"),
+    )

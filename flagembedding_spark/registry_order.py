@@ -76,6 +76,7 @@ STABLE_TAIL: list[str] = [
     "impact_postings",
     "hybrid_fusion",
     "rerank_pairs",
+    "qa_containment",
 ]
 
 

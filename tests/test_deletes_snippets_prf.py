@@ -678,3 +678,19 @@ def test_expansions_on_segment_path(spark):
                   qterms=expand_fuzzy(idx, ts))
     )
     assert want and got == want
+
+
+def test_bm25_explain_partials_sum_to_score(spark, index, queries):
+    """explain() invariant: a doc's per-term partials sum to its total
+    (within rounding of the emitted columns)."""
+    from flagembedding_spark.operators.query import bm25_explain
+
+    rows = bm25_explain(index, queries, k=3).collect()
+    assert rows
+    by_doc: dict = {}
+    for r in rows:
+        key = (r["qid"], int(r["docid"]))
+        by_doc.setdefault(key, [0.0, float(r["score4"])])
+        by_doc[key][0] += float(r["partial4"])
+    for (qid, docid), (psum, total) in by_doc.items():
+        assert abs(psum - total) < 5e-4 * max(1, len(rows)), (qid, docid)
