@@ -3005,3 +3005,54 @@ ORDER BY r.qid, r.rank, t.term
 
 PIPELINE_ENTRIES["bm25_explain"] = q_bm25_explain
 PIPELINE_ORACLE_SQL["bm25_explain"] = _explain_oracle()
+
+
+RRF_K0 = 60
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the two BM25 parameterizations' runs
+    (operators/hybrid.py rrf_fusion) — fixed-point integer contributions,
+    exact across engines."""
+    from flagembedding_spark.operators.hybrid import rrf_fusion
+
+    idx_a = build_doc_index(spark, sf_dir, BM25Config(k1=K1, b=B))
+    idx_b = build_doc_index(
+        spark, sf_dir, BM25Config(k1=NAIVE_STD_K1, b=NAIVE_STD_B)
+    )
+    run_a = bm25_topk(idx_a, _queries_df(spark), k=FUSE_RUN_K, round_scores=4)
+    run_b = bm25_topk(idx_b, _queries_df(spark), k=FUSE_RUN_K, round_scores=4)
+    return rrf_fusion([run_a, run_b], k0=RRF_K0, k=TOPK)
+
+
+def _rrf_oracle() -> str:
+    run_a = bm25_sql(K1, B, FUSE_RUN_K, use_avgdl=True).strip()
+    run_b = bm25_sql(NAIVE_STD_K1, NAIVE_STD_B, FUSE_RUN_K, use_avgdl=True).strip()
+    return f"""
+WITH ra AS ({run_a}), rb AS ({run_b}),
+contribs AS (
+  SELECT qid, docid,
+         CAST(round(1000000000.0 / ({RRF_K0} + rank)) AS BIGINT) AS c
+  FROM ra
+  UNION ALL
+  SELECT qid, docid,
+         CAST(round(1000000000.0 / ({RRF_K0} + rank)) AS BIGINT) AS c
+  FROM rb
+),
+fused AS (
+  SELECT qid, docid, CAST(sum(c) AS BIGINT) AS rrf_score
+  FROM contribs GROUP BY qid, docid
+),
+ranked AS (
+  SELECT qid, docid, rrf_score,
+         CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY rrf_score DESC, docid ASC) AS INT) AS rank
+  FROM fused
+)
+SELECT qid, docid, rrf_score, rank FROM ranked WHERE rank <= {TOPK}
+ORDER BY qid, rank
+"""
+
+
+PIPELINE_ENTRIES["rrf_fusion"] = q_rrf_fusion
+PIPELINE_ORACLE_SQL["rrf_fusion"] = _rrf_oracle()

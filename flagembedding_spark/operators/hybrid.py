@@ -202,3 +202,40 @@ def m3_ensemble_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "docid", "score", "rank")
     )
+
+
+def rrf_fusion(
+    runs: list[DataFrame],
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) — the
+    standard rank-based hybrid combiner (Elasticsearch/OpenSearch default):
+    score(d) = Σ over runs 1/(k0 + rank_run(d)). Contributions are emitted
+    as FIXED-POINT integers round(10⁹/(k0+rank)) so the sum is exact and
+    associative — identical across engines regardless of partition order
+    or run count (the float form is not, for ≥3 addends). → (qid, docid,
+    rrf_score int64, rank ≤ k), ties broken by docid."""
+    if not runs:
+        raise ValueError("need at least one run")
+    contribs = None
+    for r in runs:
+        c = r.select(
+            "qid",
+            "docid",
+            F.round(F.lit(1_000_000_000.0) / (F.lit(k0) + F.col("rank")))
+            .cast("long")
+            .alias("c"),
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    fused = contribs.groupBy("qid", "docid").agg(
+        F.sum("c").alias("rrf_score")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("rrf_score"), F.asc("docid")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "docid", "rrf_score", "rank")
+    )

@@ -77,6 +77,7 @@ STABLE_TAIL: list[str] = [
     "hybrid_fusion",
     "rerank_pairs",
     "qa_containment",
+    "qa_recall",
 ]
 
 

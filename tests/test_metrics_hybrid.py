@@ -234,3 +234,26 @@ def test_m3_ensemble_weighted_mean_and_missing_zero(spark):
     assert out[1] == (round((0.4 * 0.9 + 0.4 * 0.2) / 1.0, 6), 1)
     assert out[2] == (round((0.4 * 0.5 + 0.2 * 1.0) / 1.0, 6), 2)
     assert out[3] == (round(0.4 * 0.8 / 1.0, 6), 3)
+
+
+def test_rrf_fusion_hand_checked(spark):
+    from flagembedding_spark.operators.hybrid import rrf_fusion
+
+    ra = spark.createDataFrame(
+        [("q", 1, 5.0, 1), ("q", 2, 4.0, 2), ("q", 3, 3.0, 3)],
+        "qid string, docid long, score double, rank int",
+    )
+    rb = spark.createDataFrame(
+        [("q", 2, 9.0, 1), ("q", 4, 8.0, 2)],
+        "qid string, docid long, score double, rank int",
+    )
+    got = {
+        int(r["docid"]): (int(r["rrf_score"]), int(r["rank"]))
+        for r in rrf_fusion([ra, rb], k0=60, k=10).collect()
+    }
+    c = lambda r: round(1_000_000_000.0 / (60 + r))
+    # doc2 appears in both runs (rank 2 + rank 1) → highest fused score
+    assert got[2] == (c(2) + c(1), 1)
+    assert got[1] == (c(1), 2)
+    assert got[4] == (c(2), 3)
+    assert got[3] == (c(3), 4)
