@@ -3056,3 +3056,84 @@ ORDER BY qid, rank
 
 PIPELINE_ENTRIES["rrf_fusion"] = q_rrf_fusion
 PIPELINE_ORACLE_SQL["rrf_fusion"] = _rrf_oracle()
+
+
+ROCCHIO_FBK, ROCCHIO_ALPHA, ROCCHIO_BETA = 5, 1.0, 0.75
+
+
+def q_rocchio_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio dense pseudo-relevance feedback
+    (operators/similarity.rocchio_topk): q' = α·q + β·centroid(top-5),
+    re-ranked cosine top-5 — the vector-space twin of prf_expansion."""
+    from flagembedding_spark.operators.similarity import rocchio_topk
+
+    emb = _emb(spark, sf_dir)
+    return rocchio_topk(
+        emb.filter(F.col("vec_id") < ANN_NQ),
+        emb.filter(F.col("vec_id") >= ANN_NQ),
+        fb_k=ROCCHIO_FBK, alpha=ROCCHIO_ALPHA, beta=ROCCHIO_BETA,
+        k=ANN_K, round_scores=4,
+    )
+
+
+def _rocchio_oracle() -> str:
+    a, b = ROCCHIO_ALPHA, ROCCHIO_BETA
+    return f"""
+WITH {_EMB_NORM_SQL.strip()},
+q AS (SELECT vec_id, e FROM v WHERE vec_id < {ANN_NQ}),
+c AS (SELECT vec_id, e FROM v WHERE vec_id >= {ANN_NQ}),
+dots AS (
+  SELECT q.vec_id AS qid, c.vec_id AS docid,
+         sum(CAST(q.e[i] AS DOUBLE) * CAST(c.e[i] AS DOUBLE)) AS d
+  FROM q CROSS JOIN c CROSS JOIN di GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, docid, round(d / (x.n * y.n), 4) AS cosine
+  FROM dots JOIN nrm x ON qid = x.vec_id JOIN nrm y ON docid = y.vec_id
+),
+fb AS (
+  SELECT qid, docid FROM (
+    SELECT qid, docid,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY cosine DESC, docid ASC) AS r
+    FROM scored
+  ) WHERE r <= {ROCCHIO_FBK}
+),
+cent AS (
+  SELECT f.qid, di.i, avg(CAST(c.e[di.i] AS DOUBLE)) AS ci
+  FROM fb f JOIN c ON c.vec_id = f.docid CROSS JOIN di
+  GROUP BY f.qid, di.i
+),
+q2 AS (
+  SELECT q.vec_id AS qid, di.i,
+         {a} * CAST(q.e[di.i] AS DOUBLE) + {b} * coalesce(cent.ci, 0.0) AS qi
+  FROM q CROSS JOIN di
+  LEFT JOIN cent ON cent.qid = q.vec_id AND cent.i = di.i
+),
+q2n AS (SELECT qid, sqrt(sum(qi * qi)) AS n FROM q2 GROUP BY qid),
+dots2 AS (
+  SELECT q2.qid, c.vec_id AS docid,
+         sum(q2.qi * CAST(c.e[q2.i] AS DOUBLE)) AS d
+  FROM q2 JOIN c ON true
+  WHERE q2.i <= len(c.e)
+  GROUP BY q2.qid, c.vec_id
+),
+scored2 AS (
+  SELECT d2.qid, d2.docid, round(d2.d / (x.n * y.n), 4) AS cosine
+  FROM dots2 d2
+  JOIN q2n x ON d2.qid = x.qid
+  JOIN nrm y ON d2.docid = y.vec_id
+),
+ranked2 AS (
+  SELECT qid, docid, cosine,
+         CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY cosine DESC, docid ASC) AS INT) AS rank
+  FROM scored2
+)
+SELECT qid, docid, cosine, rank FROM ranked2 WHERE rank <= {ANN_K}
+ORDER BY qid, rank
+"""
+
+
+PIPELINE_ENTRIES["rocchio_topk"] = q_rocchio_topk
+PIPELINE_ORACLE_SQL["rocchio_topk"] = _rocchio_oracle()

@@ -470,3 +470,70 @@ def colbert_maxsim_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "docid", "score", "rank")
     )
+
+
+def rocchio_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    fb_k: int = 5,
+    alpha: float = 1.0,
+    beta: float = 0.75,
+    k: int = 5,
+    qid_col: str = "vec_id",
+    cid_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Rocchio pseudo-relevance feedback on the dense side (the classic
+    vector-space counterpart of prf.prf_expansion): retrieve top ``fb_k``
+    by cosine, move each query toward its feedback centroid,
+
+        q' = α·q + β·mean(top-fb_k doc vectors),
+
+    then re-rank the corpus against q' → (qid, docid, cosine, rank ≤ k).
+
+    Scale shape: the feedback set is queries × fb_k (broadcast); the
+    centroid is a per-(qid, dim) average over ≤ fb_k values; the expanded
+    queries assemble back into an array column and feed the standard
+    brute_force_cosine_topk (whose broadcast-GEMM/SQL paths carry the
+    corpus-scale work) — Rocchio adds no corpus-sized shuffle of its
+    own."""
+    fb = brute_force_cosine_topk(
+        queries, corpus, k=fb_k, qid_col=qid_col, cid_col=cid_col,
+        vec_col=vec_col, method="sql", round_scores=4,
+    ).select("qid", "docid")
+    cdim = corpus.select(
+        F.col(cid_col).alias("docid"),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    )
+    cent = (
+        fb.join(cdim, "docid")
+        .groupBy("qid", "i")
+        .agg(F.avg(F.col("x").cast("double")).alias("ci"))
+    )
+    qdim = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.posexplode(F.col(vec_col)).alias("i", "qx"),
+    )
+    q2 = (
+        qdim.join(cent, ["qid", "i"], "left")
+        .select(
+            "qid",
+            "i",
+            (
+                F.lit(alpha) * F.col("qx").cast("double")
+                + F.lit(beta) * F.coalesce(F.col("ci"), F.lit(0.0))
+            ).alias("qi"),
+        )
+        .groupBy("qid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "qi"))),
+                lambda s: s["qi"],
+            ).alias("embedding")
+        )
+    )
+    return brute_force_cosine_topk(
+        q2, corpus, k=k, qid_col="qid", cid_col=cid_col, vec_col=vec_col,
+        round_scores=round_scores, method="sql",
+    )

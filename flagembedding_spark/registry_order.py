@@ -78,6 +78,7 @@ STABLE_TAIL: list[str] = [
     "rerank_pairs",
     "qa_containment",
     "qa_recall",
+    "hard_negatives",
 ]
 
 

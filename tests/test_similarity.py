@@ -180,3 +180,58 @@ def test_colbert_maxsim_matches_reference_semantics(spark):
             d_got, s_got = got[(qid, rank)]
             assert d_got == d_want, (qid, rank)
             assert abs(s_got - s_want) < 1e-9
+
+
+def test_rocchio_beta_zero_is_plain_cosine(spark, emb):
+    """Rocchio with β=0 must reduce exactly to brute-force cosine (the
+    feedback term vanishes; α only scales, cosine is scale-invariant)."""
+    from pyspark.sql import functions as F
+
+    from flagembedding_spark.operators.similarity import (
+        brute_force_cosine_topk,
+        rocchio_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 5)
+    c = emb.filter(F.col("vec_id") >= 5)
+    want = sorted(
+        (r["qid"], int(r["docid"]), int(r["rank"]))
+        for r in brute_force_cosine_topk(
+            q, c, k=5, method="sql", round_scores=4
+        ).collect()
+    )
+    got = sorted(
+        (r["qid"], int(r["docid"]), int(r["rank"]))
+        for r in rocchio_topk(
+            q, c, fb_k=3, alpha=1.0, beta=0.0, k=5, round_scores=4
+        ).collect()
+    )
+    assert want and got == want
+
+
+def test_rocchio_feedback_pulls_toward_cluster(spark):
+    """A query equidistant-ish between clusters must move toward the
+    cluster its feedback docs come from."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from flagembedding_spark.operators.similarity import rocchio_topk
+
+    rows = []
+    # cluster A around (1,0,...), cluster B around (0,1,...); query closer
+    # to A so feedback is A-docs and expansion strengthens A ranking
+    for i in range(10, 20):
+        v = [1.0, 0.05 * (i % 3), 0.0, 0.0]
+        rows.append((i, v, 0))
+    for i in range(20, 30):
+        v = [0.05 * (i % 3), 1.0, 0.0, 0.0]
+        rows.append((i, v, 1))
+    rows.append((0, [0.8, 0.6, 0.0, 0.0], -1))  # the query
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    c = emb.filter(F.col("vec_id") > 0)
+    got = rocchio_topk(q, c, fb_k=5, alpha=1.0, beta=2.0, k=10).collect()
+    top5 = [int(r["docid"]) for r in got if r["rank"] <= 5]
+    assert all(d < 20 for d in top5)  # all from cluster A after feedback
