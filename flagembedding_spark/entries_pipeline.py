@@ -3137,3 +3137,54 @@ ORDER BY qid, rank
 
 PIPELINE_ENTRIES["rocchio_topk"] = q_rocchio_topk
 PIPELINE_ORACLE_SQL["rocchio_topk"] = _rocchio_oracle()
+
+
+def q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """searchAfter pagination (operators/query.bm25_search_after): page 2
+    of the flagship query set — cursors are page 1's last hits; the oracle
+    is simply ranks 11..20 of the full ranking, which the cursor filter
+    must reproduce exactly."""
+    from flagembedding_spark.operators.query import bm25_search_after
+
+    idx = build_doc_index(spark, sf_dir)
+    page1 = bm25_topk(idx, _queries_df(spark), k=TOPK, round_scores=4)
+    cursors = page1.filter(F.col("rank") == TOPK).select(
+        "qid",
+        F.col("score").alias("after_score"),
+        F.col("docid").alias("after_docid"),
+    )
+    # queries with < TOPK total hits have no rank-10 row → no cursor → they
+    # page from the top; drop them to keep page-2 semantics exact
+    return bm25_search_after(
+        idx, _queries_df(spark), cursors, k=TOPK, round_scores=4
+    ).join(F.broadcast(cursors.select("qid")), "qid", "left_semi")
+
+
+def _search_after_oracle() -> str:
+    from flagembedding_spark.entries import (
+        _BASE_CTES,
+        _qterm_ctes,
+        _scored_sql,
+    )
+
+    return f"""
+WITH {_BASE_CTES.strip()},
+{_qterm_ctes().strip()},
+{_scored_sql(K1, B, True).strip()},
+ranked AS (
+  SELECT qid, docid, round(score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY round(score, 4) DESC, docid ASC) AS INT) AS rank
+  FROM scored
+),
+eligible AS (SELECT qid FROM ranked WHERE rank = {TOPK})
+SELECT r.qid, r.docid, r.score,
+       CAST(r.rank - {TOPK} AS INT) AS rank
+FROM ranked r JOIN eligible e USING (qid)
+WHERE r.rank > {TOPK} AND r.rank <= {2 * TOPK}
+ORDER BY r.qid, r.rank
+"""
+
+
+PIPELINE_ENTRIES["bm25_search_after"] = q_bm25_search_after
+PIPELINE_ORACLE_SQL["bm25_search_after"] = _search_after_oracle()

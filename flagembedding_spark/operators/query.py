@@ -238,3 +238,48 @@ def bm25_explain(
         "qid", "docid", "rank", "term", "partial4",
         F.col("score").alias("score4"),
     )
+
+
+def bm25_search_after(
+    index: InvertedIndex,
+    queries: DataFrame,
+    cursors: DataFrame,
+    k: int = 10,
+    k1: float | None = None,
+    b: float | None = None,
+    qid_col: str = "query_id",
+    query_col: str = "query",
+    round_scores: int | None = 4,
+) -> DataFrame:
+    """Lucene ``searchAfter`` cursor pagination: return the next ``k``
+    results strictly AFTER each query's (after_score, after_docid) cursor
+    in the engine's total order (score DESC, docid ASC). Stateless deep
+    paging — no from+size over-fetch: page N costs the same single pass as
+    page 1, and the cursor row is exactly the last hit of the previous
+    page. ``cursors``: (qid, after_score, after_docid); queries without a
+    cursor row page from the top. Scores must be compared at the same
+    rounding the pages were produced with (``round_scores``)."""
+    qt = query_terms(queries, qid_col, query_col)
+    scored = (
+        bm25_partial_scores(index, qt, k1, b)
+        .groupBy("qid", "docid")
+        .agg(F.sum("s").alias("score"))
+    )
+    if round_scores is not None:
+        scored = scored.withColumn("score", F.round("score", round_scores))
+    cur = cursors.select(
+        "qid",
+        F.col("after_score").alias("a_s"),
+        F.col("after_docid").alias("a_d"),
+    )
+    scored = scored.join(F.broadcast(cur), "qid", "left").filter(
+        F.col("a_s").isNull()
+        | (F.col("score") < F.col("a_s"))
+        | ((F.col("score") == F.col("a_s")) & (F.col("docid") > F.col("a_d")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "docid", "score", "rank")
+    )

@@ -79,6 +79,7 @@ STABLE_TAIL: list[str] = [
     "qa_containment",
     "qa_recall",
     "hard_negatives",
+    "dedup_ngram_jaccard",
 ]
 
 

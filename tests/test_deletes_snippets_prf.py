@@ -694,3 +694,45 @@ def test_bm25_explain_partials_sum_to_score(spark, index, queries):
         by_doc[key][0] += float(r["partial4"])
     for (qid, docid), (psum, total) in by_doc.items():
         assert abs(psum - total) < 5e-4 * max(1, len(rows)), (qid, docid)
+
+
+def test_search_after_pages_tile_the_ranking(spark, index, queries):
+    """searchAfter invariant: successive pages concatenate to exactly the
+    full deep ranking — no gap, no overlap — across score-tie boundaries."""
+    from flagembedding_spark.operators.query import bm25_search_after
+
+    deep = [
+        (r["qid"], int(r["docid"]))
+        for r in bm25_topk(index, queries, k=15, round_scores=4)
+        .orderBy("qid", "rank").collect()
+    ]
+    page1 = bm25_topk(index, queries, k=5, round_scores=4)
+    cursors = page1.filter(F.col("rank") == 5).select(
+        "qid",
+        F.col("score").alias("after_score"),
+        F.col("docid").alias("after_docid"),
+    )
+    page2 = bm25_search_after(index, queries, cursors, k=5, round_scores=4)
+    cursors2 = page2.filter(F.col("rank") == 5).select(
+        "qid",
+        F.col("score").alias("after_score"),
+        F.col("docid").alias("after_docid"),
+    )
+    page3 = bm25_search_after(index, queries, cursors2, k=5, round_scores=4)
+    got = []
+    for page in (page1, page2, page3):
+        got.extend(
+            (r["qid"], int(r["docid"]))
+            for r in page.orderBy("qid", "rank").collect()
+        )
+    # group by qid and compare sequences
+    from collections import defaultdict
+
+    want_by, got_by = defaultdict(list), defaultdict(list)
+    for q, d in deep:
+        want_by[q].append(d)
+    for q, d in got:
+        got_by[q].append(d)
+    assert any(len(v) > 10 for v in want_by.values())  # non-vacuous depth
+    for q, docs in want_by.items():
+        assert got_by[q][: len(docs)] == docs, q
