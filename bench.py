@@ -173,9 +173,14 @@ def _scaling_worker(cores: int, n_docs: int) -> None:
     print("SCALING_RESULT " + json.dumps(res))
 
 
-def _run_leg(cores: int, n_docs: int) -> dict:
+def _run_leg(cores: int, n_docs: int, timeout_s: int | None = None) -> dict:
+    """One fresh-process leg with a WATCHDOG: a wedged JVM (observed once —
+    py4j client blocked on a socket read while every JVM thread slept)
+    would otherwise hang the whole bench, losing the round's record. The
+    timeout kills the leg's process tree; the caller retries/skips."""
     import subprocess
 
+    timeout_s = timeout_s or int(os.environ.get("FES_LEG_TIMEOUT", "900"))
     cmd = [
         sys.executable, "-c",
         (
@@ -183,13 +188,32 @@ def _run_leg(cores: int, n_docs: int) -> dict:
             "from bench import _scaling_worker; _scaling_worker(%d, %d)"
         ) % (os.path.dirname(os.path.abspath(__file__)), cores, n_docs),
     ]
-    out = subprocess.run(cmd, capture_output=True, text=True, env=dict(os.environ))
+    import signal
+
+    # start_new_session so the timeout can kill the WHOLE process group —
+    # subprocess.run's own timeout would kill only the python child and
+    # orphan the JVM on its pinned cores
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=dict(os.environ), start_new_session=True,
+    )
+    try:
+        stdout, stderr = proc.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        proc.wait()
+        raise RuntimeError(
+            f"scaling worker {cores} timed out after {timeout_s}s"
+        ) from None
     line = next(
-        (ln for ln in out.stdout.splitlines() if ln.startswith("SCALING_RESULT ")),
+        (ln for ln in stdout.splitlines() if ln.startswith("SCALING_RESULT ")),
         None,
     )
     if line is None:
-        raise RuntimeError(f"scaling worker {cores} failed: {out.stderr[-2000:]}")
+        raise RuntimeError(f"scaling worker {cores} failed: {stderr[-2000:]}")
     return json.loads(line[len("SCALING_RESULT "):])
 
 
@@ -206,18 +230,32 @@ def scaling_run(n_docs: int, pairs: tuple[int, int] = (2, 8),
     noise-robust instead of relying on an out-of-band protocol."""
     rep_rows: list[dict] = []
     best: dict[int, dict] = {}
+    failed_reps = 0
     for r in range(max(reps, 1)):
         row = {}
-        for cores in pairs:
-            res = _run_leg(cores, n_docs)
-            row[f"local{cores}"] = res
-            cur = best.get(cores)
-            if cur is None or res["corpus_pass_sec"] < cur["corpus_pass_sec"]:
-                best[cores] = res
+        try:
+            for cores in pairs:
+                try:
+                    res = _run_leg(cores, n_docs)
+                except RuntimeError:
+                    res = _run_leg(cores, n_docs)  # one retry per leg
+                row[f"local{cores}"] = res
+                cur = best.get(cores)
+                if cur is None or res["corpus_pass_sec"] < cur["corpus_pass_sec"]:
+                    best[cores] = res
+        except RuntimeError:
+            # a wedged/timed-out leg (watchdog, see _run_leg) — drop this
+            # REP and keep going; the median headline tolerates it
+            failed_reps += 1
+            continue
         lo_t = row[f"local{pairs[0]}"]["corpus_pass_sec"]
         hi_t = row[f"local{pairs[1]}"]["corpus_pass_sec"]
         row["efficiency"] = round((lo_t / hi_t) / (pairs[1] / pairs[0]), 3)
         rep_rows.append(row)
+    if not rep_rows:
+        raise RuntimeError(
+            f"all {reps} scaling reps failed (watchdog timeouts)"
+        )
     lo, hi = pairs
     ratio = hi / lo
     speedup = best[lo]["corpus_pass_sec"] / best[hi]["corpus_pass_sec"]
@@ -243,6 +281,7 @@ def scaling_run(n_docs: int, pairs: tuple[int, int] = (2, 8),
         f"local{lo}": best[lo],
         f"local{hi}": best[hi],
         "reps": len(rep_rows),
+        "failed_reps": failed_reps,
         "per_rep": [
             {
                 f"local{lo}_pass_sec": r[f"local{lo}"]["corpus_pass_sec"],
