@@ -27,12 +27,14 @@ from __future__ import annotations
 
 DRIVER_WINDOW = 50
 
-# Round-3 additions with no CORRECTNESS_r03 row — must be driver-verified
-# in round 4 (VERDICT.md next-round ask #1).
+# Once-green entries (driver-green in CORRECTNESS_r04 ONLY) — must stay
+# inside the window for a second driver row in round 5 (VERDICT.md round-4
+# ask #2).  Computed from the r02/r03/r04 correctness records.
 PRIORITY_FIRST: list[str] = [
     "bm25_topk_wand_twophase",
     "proximity_match",
     "proximity_match_segments",
+    "proximity_match_ordered",
     "colbert_maxsim_topk",
     "lexical_matching",
     "m3_ensemble_topk",
@@ -40,17 +42,54 @@ PRIORITY_FIRST: list[str] = [
     "corpus_clean",
     "redact_pii",
     "dedup_segments_within_doc",
-    "sessionize",
     "event_props_extract",
+    "bm25_topk_conjunctive",
+    "bm25_topk_deleted",
+    "bm25_topk_filtered",
+    "snippet_extract",
+    "prf_expansion",
+    "more_like_this",
+    "bm25f_topk",
+    "prefix_search_topk",
+    "fuzzy_search_topk",
+    "wildcard_search_topk",
+    "decontaminate",
+    "repetition_stats",
+    "bm25_explain",
+    "rrf_fusion",
+    "rocchio_topk",
+    "bm25_search_after",
 ]
 
-# Hash-green in both CORRECTNESS_r02 and CORRECTNESS_r03; rotated past the
-# driver window (still gated locally every round). The last four were
-# rotated in round 4 to make room for the round-4 additions
-# (bm25_topk_conjunctive, bm25_topk_deleted, snippet_extract,
-# prf_expansion) — the once-green ann_lsh_recall / ann_ivf_recall stay
-# inside the window instead.
+# Hash-green in at least TWO driver rounds; rotated past the driver window
+# (still gated locally every round by tools/check_entries.py). Round 5
+# rotated in the 22 entries that became multi-green with CORRECTNESS_r04
+# (green in r04 plus r02 and/or r03) to make room for round-5 additions.
 STABLE_TAIL: list[str] = [
+    # multi-green as of r04 (rotated at round-5 start)
+    "bm25_topk",
+    "bm25_topk_wand",
+    "bm25_topk_naive_params",
+    "doc_stats",
+    "postings",
+    "term_dictionary",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "minhash_signatures",
+    "simhash",
+    "embedding_neardup",
+    "ann_cosine_topk",
+    "ann_lsh_recall",
+    "ann_ivf_recall",
+    "ann_topk_persisted",
+    "ir_metrics",
+    "ir_metrics_by_lang",
+    "content_sha_invariant",
+    "positional_postings",
+    "phrase_match",
+    "phrase_match_segments",
+    "sessionize",
+    # multi-green as of r03 (rotated at round-4 start)
     "query_sanitize",
     "query_terms",
     "token_counts",
@@ -101,57 +140,16 @@ def canonical_order(keys: list[str]) -> list[str]:
     return out
 
 
-# Entries known to exist at the time this ordering was fixed (round 4).
-# Anything not listed here and not in PRIORITY_FIRST/STABLE_TAIL is "new"
-# and is promoted to the front of the middle region.
-_KNOWN_R4: frozenset[str] = frozenset(
-    PRIORITY_FIRST
-    + STABLE_TAIL
-    + [
-        "bm25_topk",
-        "bm25_topk_wand",
-        "bm25_topk_naive_params",
-        "doc_stats",
-        "postings",
-        "term_dictionary",
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_minhash_lsh",
-        "minhash_signatures",
-        "simhash",
-        "embedding_neardup",
-        "ann_cosine_topk",
-        "ir_metrics",
-        "hybrid_fusion",
-        "rerank_pairs",
-        "hard_negatives",
-        "qa_containment",
-        "qa_recall",
-        "impact_postings",
-        "postings_stopfiltered",
-        "code_token_counts",
-        "content_sha_invariant",
-        "token_counts_unicode",
-        "qa_containment_unicode",
-        "ann_topk_persisted",
-        "ir_metrics_by_lang",
-        "impact_query_expansion",
-        "impact_search_topk",
-        "positional_postings",
-        "phrase_match",
-        "phrase_match_segments",
-        "retrieval_metrics_binary",
-        "lang_id_multi",
-        "ann_lsh_recall",
-        "ann_ivf_recall",
-        "bm25_topk_wand_docpart",
-        "windowed_event_counts",
-    ]
-)
+# Entries known to exist at the time this ordering was fixed (round 5).
+# As of round 5 every pre-existing entry is either PRIORITY_FIRST (once-
+# green, held for a second driver row) or STABLE_TAIL (multi-green,
+# rotated out), so the known set is exactly their union.  Anything not
+# listed is "new" and is promoted to the front of the middle region.
+_KNOWN: frozenset[str] = frozenset(PRIORITY_FIRST + STABLE_TAIL)
 
 
 def _is_new(key: str) -> bool:
-    return key not in _KNOWN_R4
+    return key not in _KNOWN
 
 
 def outside_window(keys: list[str]) -> list[str]:
