@@ -128,8 +128,11 @@ def bm25_topk(
         scored = scored.filter(F.col("nmatched") >= int(min_should_match))
     scored = scored.select("qid", "docid", "score")
     if include_docids is not None:
+        # filter sets are metadata-selection-sized (≪ corpus); broadcast so
+        # the semi-join never shuffles the scored side (AQE usually converts
+        # this anyway — the hint makes it deterministic, mirroring exclude)
         scored = scored.join(
-            include_docids.select("docid"), "docid", "left_semi"
+            F.broadcast(include_docids.select("docid")), "docid", "left_semi"
         )
     if exclude_docids is not None:
         if isinstance(exclude_docids, DataFrame):
@@ -139,9 +142,23 @@ def bm25_topk(
                 "left_anti",
             )
         else:
-            scored = scored.filter(
-                ~F.col("docid").isin([int(x) for x in exclude_docids])
-            )
+            if hasattr(exclude_docids, "to_array"):  # deletes.DocidBitmap
+                ids = [int(x) for x in exclude_docids.to_array()]
+            else:
+                ids = sorted({int(x) for x in exclude_docids})
+            if len(ids) > 1000:
+                # a giant IN() literal bloats the plan; ship as a broadcast
+                # anti-join instead (same shape as the DataFrame branch)
+                import pandas as pd
+
+                dead_df = scored.sparkSession.createDataFrame(
+                    pd.DataFrame({"docid": pd.array(ids, dtype="int64")})
+                )
+                scored = scored.join(
+                    F.broadcast(dead_df), "docid", "left_anti"
+                )
+            else:
+                scored = scored.filter(~F.col("docid").isin(ids))
     if round_scores is not None:
         scored = scored.withColumn("score", F.round("score", round_scores))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))

@@ -240,10 +240,17 @@ def _mask_dead(d: np.ndarray, s: np.ndarray, dead):
     IMMEDIATELY after decode in every kernel so deleted docs cease to exist
     before any θ bootstrap / bound / accumulation — pruning thresholds are
     then derived from survivors only, which keeps pruning score-safe under
-    deletion (a θ that counted deleted docs could over-prune)."""
+    deletion (a θ that counted deleted docs could over-prune).
+
+    ``dead`` is either a small sorted int64 array (np.isin path) or a
+    deletes.DocidBitmap (roaring-shaped; vectorized ``contains`` —
+    bounded memory at millions of tombstones)."""
     if dead is None or len(dead) == 0 or d.size == 0:
         return d, s
-    keep = ~np.isin(d, dead)
+    if hasattr(dead, "contains"):  # deletes.DocidBitmap (duck-typed: no import cycle)
+        keep = ~dead.contains(d)
+    else:
+        keep = ~np.isin(d, dead)
     return d[keep], s[keep]
 
 
@@ -826,9 +833,10 @@ def wand_topk(
 
     ``exclude_docids``: live tombstones (operators/deletes.py — Lucene
     live-docs semantics: deleted docs vanish from results, surviving
-    scores keep the index's STALE stats). Exact via over-fetch
-    (k + |deleted| per query, then re-rank); capped at
-    MAX_QUERY_TIME_DELETES — larger sets must compact_store first.
+    scores keep the index's STALE stats). Masked IN-KERNEL immediately
+    after decode (_mask_dead) so every θ/bound reflects survivors —
+    score-safe with no over-fetch. Incompatible with two_phase=True
+    (disjunctive-θ assumption; 'auto' degrades to off).
 
     ``min_should_match``: same Boolean semantics as the DataFrame engine
     (query.py) — int n keeps docs matching ≥ n distinct query terms,
@@ -842,6 +850,22 @@ def wand_topk(
     k1, b = cfg.k1, cfg.b
     avgdl = seg.avgdl_effective
     spark = queries.sparkSession
+    # Two-phase's θ is a disjunctive bound witnessed by live docs: the kth
+    # block-max of the strongest term may be witnessed entirely by
+    # tombstoned docs (masked only later, in-kernel), and min_should_match
+    # re-scopes which docs can reach top-k at all — either combination can
+    # silently drop surviving results. Explicit two_phase=True with either
+    # is an error; 'auto' degrades to off (the prune simply never engages).
+    if two_phase and (exclude_docids is not None or min_should_match):
+        if two_phase == "auto":
+            two_phase = False
+        else:
+            raise ValueError(
+                "two_phase=True is incompatible with exclude_docids / "
+                "min_should_match (the prune's θ-preservation argument "
+                "assumes disjunctive scoring over live docs); use "
+                "two_phase='auto' or False, or compact_store first"
+            )
     cand, n_part, doc_layout = candidate_block_plan(
         seg, queries, k, qid_col, query_col, num_partitions, two_phase,
         qterms,
@@ -854,22 +878,26 @@ def wand_topk(
     else:
         cand = cand.repartition(n_part, "qid")
 
-    excl: list[int] = []
-    if exclude_docids is not None:
-        excl = sorted({int(x) for x in exclude_docids})
-        from flagembedding_spark.operators.deletes import (
-            MAX_QUERY_TIME_DELETES,
-        )
-
-        if len(excl) > MAX_QUERY_TIME_DELETES:
-            raise ValueError(
-                f"{len(excl)} tombstones exceed the query-time cap "
-                f"({MAX_QUERY_TIME_DELETES}) — run compact_store first"
-            )
     # tombstones are masked IN-KERNEL immediately after decode (_mask_dead),
     # so every θ/bound already reflects survivors — no over-fetch needed
     # (the r4-initial k+|deleted| over-fetch cost 1.6× at 2 M docs with a
-    # 1000-doc tombstone set because pruning thresholds collapsed)
+    # 1000-doc tombstone set because pruning thresholds collapsed). No size
+    # cap: large sets ride a roaring-shaped DocidBitmap whose compressed
+    # containers ship once in the task closure (broadcast by Spark).
+    dead_arr = None
+    if exclude_docids is not None:
+        from flagembedding_spark.operators.deletes import DocidBitmap
+
+        if isinstance(exclude_docids, DocidBitmap):
+            dead_arr = exclude_docids if len(exclude_docids) else None
+        else:
+            arr = np.unique(np.asarray(
+                exclude_docids if isinstance(exclude_docids, np.ndarray)
+                else list(exclude_docids), dtype=np.int64))
+            if arr.size > 4096:
+                dead_arr = DocidBitmap.from_array(arr)
+            elif arr.size:
+                dead_arr = arr
     kk = k
     if use_wand is True:
         mode = "auto"
@@ -900,7 +928,7 @@ def wand_topk(
         if int(min_should_match) < 0:
             raise ValueError("min_should_match must be >= 0 or 'all'")
         mode = "conjunctive"
-    if excl and mode == "daat":
+    if dead_arr is not None and mode == "daat":
         # the classic per-pivot cursor has no mask hook; the vectorized
         # pruned kernel is mask-aware and at least as fast
         mode = "pruned"
@@ -908,7 +936,6 @@ def wand_topk(
         # the DAAT cursor assumes per-term blocks are docid-disjoint; in the
         # doc layout a task may hold several buckets with overlapping ranges
         raise ValueError("mode='daat' requires the term-bucketed layout")
-    dead_arr = np.asarray(excl, dtype=np.int64) if excl else None
 
     def score_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         per_q: dict[str, dict] = {}

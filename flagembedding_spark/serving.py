@@ -144,8 +144,7 @@ class SegmentReader:
         # stats stay stale until compact_store
         from flagembedding_spark.operators.deletes import load_tombstones
 
-        self.tombstones = load_tombstones(root)
-        self._dead = set(int(x) for x in self.tombstones)
+        self.tombstones = load_tombstones(root)  # DocidBitmap (roaring-shaped)
 
     def lookup_terms(self, terms: list[str]):
         """→ {term: (idf, bucket)} for terms present in the dictionary."""
@@ -420,10 +419,10 @@ class SegmentReader:
             if keys.size == 0:
                 return []
         ud, counts = np.unique(keys // _POS_KEY, return_counts=True)
+        docids = uniq[ud]
+        live = ~self.tombstones.contains(docids)  # vectorized bitmap mask
         out = [
-            (int(uniq[d]), int(c))
-            for d, c in zip(ud, counts)
-            if int(uniq[d]) not in self._dead
+            (int(d), int(c)) for d, c in zip(docids[live], counts[live])
         ]
         return out[:limit] if limit else out
 
@@ -463,9 +462,6 @@ class SegmentReader:
             return []
         ud, inv = np.unique(da[keep], return_inverse=True)
         tot = np.bincount(inv, weights=n_i[keep]).astype(np.int64)
-        out = [
-            (int(d), int(c))
-            for d, c in zip(ud, tot)
-            if int(d) not in self._dead
-        ]
+        live = ~self.tombstones.contains(ud)  # vectorized bitmap mask
+        out = [(int(d), int(c)) for d, c in zip(ud[live], tot[live])]
         return out[:limit] if limit else out

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from flagembedding_spark.config import BM25Config
 from flagembedding_spark.operators.deletes import (
-    MAX_QUERY_TIME_DELETES,
+    DocidBitmap,
     clear_tombstones,
     compact_store,
     load_tombstones,
@@ -108,13 +108,137 @@ def test_wand_deletes_match_dataframe(index, queries):
     assert got == want
 
 
-def test_wand_deletes_cap(index, queries):
+def test_docid_bitmap_matches_isin_reference():
+    """Roaring-shaped DocidBitmap: membership identical to np.isin over a
+    mixed sparse/dense docid set (array + bitmap containers both hit)."""
+    rng = np.random.default_rng(7)
+    # dense region (bitmap containers): 60k ids inside two 65 536-ranges,
+    # sparse region (array containers): scattered high ids
+    dense = rng.choice(131_072, size=60_000, replace=False).astype(np.int64)
+    sparse = rng.integers(1 << 33, 1 << 40, size=5_000).astype(np.int64)
+    dead = np.concatenate([dense, sparse])
+    bm = DocidBitmap.from_array(dead)
+    assert bm.size == np.unique(dead).size
+    assert (bm.kinds == 1).any() and (bm.kinds == 0).any()  # both container kinds
+    probe = np.concatenate([
+        rng.integers(0, 1 << 40, size=50_000).astype(np.int64),
+        dead[::7],  # guaranteed hits
+    ])
+    want = np.isin(probe, dead)
+    got = bm.contains(probe)
+    assert np.array_equal(got, want)
+    assert np.array_equal(np.sort(bm.to_array()), np.unique(dead))
+    # scalar + union
+    assert bm.contains_scalar(int(dead[0]))
+    assert not bm.contains_scalar(int(np.setdiff1d(np.arange(200_000), dead)[0]))
+    bm2 = bm.union([1 << 41])
+    assert bm2.size == bm.size + 1 and bm2.contains_scalar(1 << 41)
+
+
+def test_docid_bitmap_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(11)
+    dead = np.concatenate([
+        rng.choice(70_000, size=20_000, replace=False).astype(np.int64),
+        rng.integers(1 << 30, 1 << 35, size=1_000).astype(np.int64),
+    ])
+    bm = DocidBitmap.from_array(dead)
+    path = str(tmp_path / "t.npz")
+    bm.save(path)
+    back = DocidBitmap.load(path)
+    probe = rng.integers(0, 1 << 35, size=10_000).astype(np.int64)
+    assert back.size == bm.size
+    assert np.array_equal(back.contains(probe), bm.contains(probe))
+
+
+def test_wand_million_tombstones(index, queries, tmp_path):
+    """The 10k query-time cap is retired: a ≥1M-tombstone set rides the
+    roaring bitmap through wand_topk with bounded memory, and masking is
+    identical to querying the compacted (tombstone-free) store's surviving
+    docid set with stale-stats scores."""
     seg = merge_segments(build_segments(index))
-    with pytest.raises(ValueError, match="compact_store"):
-        wand_topk(
-            seg, queries, k=10,
-            exclude_docids=range(MAX_QUERY_TIME_DELETES + 1),
-        )
+    seg.blocks = seg.blocks.cache()
+    full = _rows(wand_topk(seg, queries, k=20))
+    assert full
+    real_dead = sorted({d for _, d, _, _ in full})[:3]
+    # 1M+ tombstones: 3 real docids + a dense synthetic range far above the
+    # corpus (exercises bitmap containers at full scale; semantically a
+    # no-op for absent ids, exactly like Lucene deleting unknown ids)
+    dead = np.concatenate([
+        np.asarray(real_dead, dtype=np.int64),
+        np.arange(1 << 30, (1 << 30) + 1_000_000, dtype=np.int64),
+    ])
+    bm = DocidBitmap.from_array(dead)
+    assert bm.size >= 1_000_003
+    got = _rows(wand_topk(seg, queries, k=10, exclude_docids=bm))
+    want = _rows(
+        wand_topk(seg, queries, k=10, exclude_docids=real_dead)
+    )
+    assert got == want  # the million absent ids change nothing
+    for _, d, _, _ in got:
+        assert d not in real_dead
+    # identity vs compact_store's surviving corpus: same docids survive
+    root, out = str(tmp_path / "store"), str(tmp_path / "compacted")
+    save_segments(seg, root)
+    write_tombstones(root, real_dead)
+    compacted = compact_store(spark=queries.sparkSession, root=root,
+                              out_root=out)
+    surv = {int(r["docid"])
+            for r in wand_topk(compacted, queries, k=10).collect()}
+    assert not surv & set(real_dead)
+
+
+def test_serving_million_tombstones(spark, index, tmp_path):
+    """Serving reader end-to-end on a ≥1M tombstone store: results match
+    the 3-real-delete store bit-for-bit (stale stats), absent ids no-op."""
+    from flagembedding_spark.serving import SegmentReader
+
+    seg = merge_segments(build_segments(index))
+    root = str(tmp_path / "store")
+    save_segments(seg, root)
+    rd = SegmentReader(root, n_threads=1)
+    full = rd.topk("get_er_0 set_er_1 merge_er_6", k=20)
+    assert len(full) > 5
+    real_dead = [d for d, _, _ in full[:3]]
+    write_tombstones(root, real_dead)
+    small = SegmentReader(root, n_threads=1).topk(
+        "get_er_0 set_er_1 merge_er_6", k=10
+    )
+    merged = write_tombstones(
+        root, np.arange(1 << 30, (1 << 30) + 1_000_000, dtype=np.int64)
+    )
+    assert merged.size >= 1_000_003
+    # large sets drop the JSON twin and persist only the compressed bitmap
+    import os
+
+    assert os.path.exists(f"{root}/tombstones.npz")
+    assert not os.path.exists(f"{root}/tombstones.json")
+    big = SegmentReader(root, n_threads=1).topk(
+        "get_er_0 set_er_1 merge_er_6", k=10
+    )
+    assert big == small
+    assert all(d not in set(real_dead) for d, _, _ in big)
+
+
+def test_two_phase_rejects_delete_and_msm_combos(index, queries):
+    """two_phase's θ is a disjunctive bound witnessed by LIVE docs — its
+    safety argument breaks under exclude_docids (witnesses may all be
+    tombstoned) and min_should_match (re-scopes admissible docs). Explicit
+    two_phase=True with either must raise; 'auto' degrades to off with
+    parity vs the plain path."""
+    seg = merge_segments(build_segments(index))
+    seg.blocks = seg.blocks.cache()
+    with pytest.raises(ValueError, match="two_phase"):
+        wand_topk(seg, queries, k=10, two_phase=True, exclude_docids=[1])
+    with pytest.raises(ValueError, match="two_phase"):
+        wand_topk(seg, queries, k=10, two_phase=True, min_should_match=2)
+    want = _rows(wand_topk(seg, queries, k=10, exclude_docids=[3, 7]))
+    got = _rows(wand_topk(seg, queries, k=10, two_phase="auto",
+                          exclude_docids=[3, 7]))
+    assert want and got == want
+    want2 = _rows(wand_topk(seg, queries, k=10, min_should_match=2))
+    got2 = _rows(wand_topk(seg, queries, k=10, two_phase="auto",
+                           min_should_match=2))
+    assert want2 and got2 == want2
 
 
 def test_serving_reader_honors_tombstones(spark, index, tmp_path):
