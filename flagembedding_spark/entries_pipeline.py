@@ -3188,3 +3188,45 @@ ORDER BY r.qid, r.rank
 
 PIPELINE_ENTRIES["bm25_search_after"] = q_bm25_search_after
 PIPELINE_ORACLE_SQL["bm25_search_after"] = _search_after_oracle()
+
+
+# ---------------------------------------------------------------------------
+# filtered search on the SEGMENT path (VERDICT r04 ask #3): include_docids
+# masked IN-KERNEL right after block decode (deletes.DocidMask — the same
+# survivor-aware hook the tombstones use), so θ/bounds reflect only
+# admissible docs. Shares _filtered_oracle with the DataFrame path: the
+# filter restricts candidates and never rescores (global stats), so both
+# engines and the SQL oracle must agree exactly.
+# ---------------------------------------------------------------------------
+
+def q_bm25_topk_filtered_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as _W
+
+    from flagembedding_spark.operators.segments import (
+        build_segments,
+        merge_segments,
+    )
+    from flagembedding_spark.operators.wand import wand_topk
+
+    idx = build_doc_index(spark, sf_dir)
+    seg = merge_segments(build_segments(idx))
+    keep = _docs(spark, sf_dir).filter(
+        F.col("lang") == FILTER_LANG
+    ).select(F.col("doc_id").alias("docid"))
+    raw = wand_topk(
+        seg, _queries_df(spark), k=TOPK + 50, use_wand=True,
+        include_docids=keep,
+    )
+    w = _W.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 4)), F.asc("docid")
+    )
+    return (
+        raw.withColumn("score", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "docid", "score", "rank")
+    )
+
+
+PIPELINE_ENTRIES["bm25_topk_filtered_wand"] = q_bm25_topk_filtered_wand
+PIPELINE_ORACLE_SQL["bm25_topk_filtered_wand"] = _filtered_oracle()

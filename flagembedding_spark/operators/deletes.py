@@ -173,6 +173,43 @@ class DocidBitmap:
                        z["arr_values"], int(z["size"][0]))
 
 
+class DocidMask:
+    """Combined exclude/include docid filter for the in-kernel mask hook
+    (wand._mask_dead duck-types on ``contains``): ``contains(d)`` returns
+    True where the doc must be DROPPED — tombstoned, or outside the
+    include set. Include is the Lucene filter-clause contract: restricts
+    candidates, never rescores (global stats). Applied immediately after
+    block decode, so θ bootstraps and pruning bounds reflect only
+    admissible docs — score-safe, and pruning can only get TIGHTER.
+
+    Include sets are filter-selection-sized (a metadata predicate's
+    matches), shipped to tasks as a roaring-shaped DocidBitmap; a hot
+    recurring filter at cluster scale belongs in the index layout
+    (partitionBy) instead — query.py documents the same boundary."""
+
+    __slots__ = ("exclude", "include")
+
+    def __init__(self, exclude=None, include: DocidBitmap | None = None):
+        self.exclude = exclude  # DocidBitmap | small sorted int64 array | None
+        self.include = include  # DocidBitmap | None
+
+    def __len__(self) -> int:
+        n = len(self.exclude) if self.exclude is not None else 0
+        return n + (1 if self.include is not None else 0)
+
+    def contains(self, docids: np.ndarray) -> np.ndarray:
+        d = np.asarray(docids, dtype=np.int64)
+        if self.exclude is None:
+            drop = np.zeros(d.size, dtype=bool)
+        elif hasattr(self.exclude, "contains"):
+            drop = self.exclude.contains(d)
+        else:
+            drop = np.isin(d, self.exclude)
+        if self.include is not None:
+            drop |= ~self.include.contains(d)
+        return drop
+
+
 def write_tombstones(root: str, docids) -> DocidBitmap:
     """Union ``docids`` into the store's tombstone set; returns the merged
     DocidBitmap. SINGLE-WRITER: atomic against concurrent readers (temp +

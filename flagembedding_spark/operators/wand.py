@@ -808,6 +808,7 @@ def wand_topk(
     exclude_docids=None,
     min_should_match: int | str = 0,
     qterms: DataFrame | None = None,
+    include_docids=None,
 ) -> DataFrame:
     """Top-k BM25 over the merged segment index.
 
@@ -838,6 +839,15 @@ def wand_topk(
     score-safe with no over-fetch. Incompatible with two_phase=True
     (disjunctive-θ assumption; 'auto' degrades to off).
 
+    ``include_docids``: metadata-filtered search (Lucene filter clause) —
+    restricts candidates to the given docids, scores keep GLOBAL index
+    statistics (a filter never rescores). Accepts a (docid) DataFrame,
+    a deletes.DocidBitmap, or an iterable; masked in-kernel with the
+    same survivor-aware hook as deletes (non-included docs cease to
+    exist before θ bootstrap — score-safe, pruning only tightens).
+    Same two_phase incompatibility as exclude_docids. Filter sets are
+    selection-sized; a hot recurring filter belongs in the index layout.
+
     ``min_should_match``: same Boolean semantics as the DataFrame engine
     (query.py) — int n keeps docs matching ≥ n distinct query terms,
     ``'all'`` is conjunctive AND (OOV term ⇒ empty). Routes every query
@@ -856,15 +866,20 @@ def wand_topk(
     # re-scopes which docs can reach top-k at all — either combination can
     # silently drop surviving results. Explicit two_phase=True with either
     # is an error; 'auto' degrades to off (the prune simply never engages).
-    if two_phase and (exclude_docids is not None or min_should_match):
+    if two_phase and (
+        exclude_docids is not None
+        or include_docids is not None
+        or min_should_match
+    ):
         if two_phase == "auto":
             two_phase = False
         else:
             raise ValueError(
                 "two_phase=True is incompatible with exclude_docids / "
-                "min_should_match (the prune's θ-preservation argument "
-                "assumes disjunctive scoring over live docs); use "
-                "two_phase='auto' or False, or compact_store first"
+                "include_docids / min_should_match (the prune's "
+                "θ-preservation argument assumes disjunctive scoring over "
+                "live, unrestricted docs); use two_phase='auto' or False, "
+                "or compact_store first"
             )
     cand, n_part, doc_layout = candidate_block_plan(
         seg, queries, k, qid_col, query_col, num_partitions, two_phase,
@@ -898,6 +913,24 @@ def wand_topk(
                 dead_arr = DocidBitmap.from_array(arr)
             elif arr.size:
                 dead_arr = arr
+    if include_docids is not None:
+        from flagembedding_spark.operators.deletes import (
+            DocidBitmap,
+            DocidMask,
+        )
+
+        if isinstance(include_docids, DocidBitmap):
+            inc = include_docids
+        elif isinstance(include_docids, DataFrame):
+            inc = DocidBitmap.from_array(np.asarray(
+                include_docids.select("docid").toPandas()["docid"],
+                dtype=np.int64,
+            ))
+        else:
+            inc = DocidBitmap.from_array(np.asarray(
+                include_docids if isinstance(include_docids, np.ndarray)
+                else list(include_docids), dtype=np.int64))
+        dead_arr = DocidMask(exclude=dead_arr, include=inc)
     kk = k
     if use_wand is True:
         mode = "auto"

@@ -219,6 +219,41 @@ def test_serving_million_tombstones(spark, index, tmp_path):
     assert all(d not in set(real_dead) for d, _, _ in big)
 
 
+def test_wand_include_filter_matches_dataframe(index, corpus, queries):
+    """include_docids on the segment path (in-kernel DocidMask) must be
+    rank- and score-identical to the DataFrame path's filter-clause
+    semantics: candidates restricted, scores from GLOBAL stats."""
+    from flagembedding_spark.operators.segments import (
+        build_doc_partitioned_segments,
+    )
+
+    seg = merge_segments(build_segments(index))
+    seg.blocks = seg.blocks.cache()
+    keep_df = corpus.filter("doc_id % 3 != 0").select(
+        F.col("doc_id").alias("docid")
+    )
+    want = _rows(bm25_topk(index, queries, k=10, include_docids=keep_df))
+    assert want  # non-vacuous
+    got = _rows(wand_topk(seg, queries, k=10, include_docids=keep_df))
+    assert got == want
+    # every result obeys the filter
+    assert all(d % 3 != 0 for _, d, _, _ in got)
+    # doc-partitioned layout shares the mask hook
+    dseg = build_doc_partitioned_segments(index, n_parts=4)
+    got_doc = _rows(wand_topk(dseg, queries, k=10, include_docids=keep_df))
+    assert got_doc == want
+    # combined include + exclude: tombstones compose with the filter
+    dead = sorted({d for _, d, _, _ in want})[:2]
+    want2 = _rows(bm25_topk(index, queries, k=10, include_docids=keep_df,
+                            exclude_docids=dead))
+    got2 = _rows(wand_topk(seg, queries, k=10, include_docids=keep_df,
+                           exclude_docids=dead))
+    assert want2 and got2 == want2
+    with pytest.raises(ValueError, match="two_phase"):
+        wand_topk(seg, queries, k=10, two_phase=True,
+                  include_docids=keep_df)
+
+
 def test_two_phase_rejects_delete_and_msm_combos(index, queries):
     """two_phase's θ is a disjunctive bound witnessed by LIVE docs — its
     safety argument breaks under exclude_docids (witnesses may all be
