@@ -68,8 +68,17 @@ def build_bm25f_index(
         .agg(F.sum("w").alias("tf"))
     )
     # weighted doc length: Σ_f w_f · |field_f| — computed from the SAME
-    # token stream so empty-token conventions stay consistent
-    dl = per_field.groupBy("docid").agg(F.sum("w").alias("dl"))
+    # token stream so empty-token conventions stay consistent. N and
+    # doc_stats come from the INPUT docs (count over documents, the main
+    # index builder's / oracle's convention): a doc whose pre-tokenized
+    # array fields are all empty explodes to zero rows but must still
+    # count in N and carry dl=0 — silently dropping it shifts idf for
+    # every term (ADVICE r04).
+    dl_raw = per_field.groupBy("docid").agg(F.sum("w").alias("dl"))
+    all_docs = docs.select(F.col(id_col).alias("docid")).distinct()
+    dl = all_docs.join(dl_raw, "docid", "left").select(
+        "docid", F.coalesce(F.col("dl"), F.lit(0)).cast("long").alias("dl")
+    )
     postings = postings.join(dl, "docid").select("term", "docid", "tf", "dl")
     doc_stats = dl.select(
         "docid", F.col("docid").cast("string").alias("docid_str"), "dl",

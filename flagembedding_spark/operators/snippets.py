@@ -8,7 +8,10 @@ deterministic token-window snippet per (query, hit):
 - tokens = single-space split of the document text (the engine's global
   tokenization contract, empties preserved);
 - anchor = the FIRST occurrence (minimum token position) of ANY query term
-  in the document — the earliest matched term;
+  in the document — the earliest matched term; a hit containing NONE of
+  the query's terms (possible for fused/filtered/expanded runs) anchors
+  at position 1, yielding the document's LEADING window — defined
+  behavior, never a null snippet;
 - snippet = ``width`` tokens starting ``before`` tokens left of the anchor
   (clamped to the document start), space-joined.
 
@@ -55,7 +58,9 @@ def extract_snippets(
         F.transform(F.col("qterms"), lambda t: F.array_position(toks, t)),
         lambda p: p > 0,
     )
-    anchor = F.array_min(positions)
+    # no-match hits (empty positions array → null array_min) anchor at 1:
+    # the leading window is the defined fallback (module docstring)
+    anchor = F.coalesce(F.array_min(positions), F.lit(1))
     start = F.greatest(anchor - F.lit(before), F.lit(1))
     return (
         hits.join(F.broadcast(qt_arr), "qid")

@@ -38,6 +38,25 @@ from flagembedding_spark.operators.wand import (
 )
 
 
+def _prefix_successor(prefix: str) -> str | None:
+    """Smallest string greater than EVERY string starting with ``prefix``
+    (codepoint order == UTF-8 byte order): increment the last codepoint,
+    skipping the surrogate gap (no valid string sorts inside it) and
+    carrying past U+10FFFF by dropping the exhausted position. None means
+    unbounded (prefix was all-U+10FFFF — scan to the end)."""
+    s = prefix
+    while s:
+        last = ord(s[-1])
+        if last >= 0x10FFFF:
+            s = s[:-1]
+            continue
+        nxt = last + 1
+        if 0xD800 <= nxt <= 0xDFFF:
+            nxt = 0xE000
+        return s[:-1] + chr(nxt)
+    return None
+
+
 def _exact_query_mt(qid, term_blocks, k, pool, chunk=4096, dead=None):
     """Thread-parallel twin of wand._exact_query for HEAD (stopword-laden)
     queries: per-(term, block-chunk) decode+score jobs fan out over the
@@ -284,14 +303,20 @@ class SegmentReader:
     def prefix_topk(self, prefix: str, k: int = 10,
                     max_expansions: int = 50):
         """PrefixQuery point form: dictionary range scan
-        [prefix, prefix+∞) — plain comparisons, so parquet row-group
-        min/max stats prune — capped like termquery.expand_prefix."""
+        [prefix, successor(prefix)) — plain comparisons, so parquet
+        row-group min/max stats prune — capped like
+        termquery.expand_prefix. The upper bound is the TRUE prefix
+        successor (last codepoint incremented, surrogate gap skipped,
+        U+10FFFF overflow carried), so every term starting with the
+        prefix — supplementary-plane suffixes included — lands inside
+        the scanned range; the startswith check below only trims the
+        successor-range slack, it never has to recover missed terms."""
+        flt = ds.field("term") >= prefix
+        upper = _prefix_successor(prefix)
+        if upper is not None:
+            flt = flt & (ds.field("term") < upper)
         tbl = self.dictionary.to_table(
-            columns=["term", "df", "idf", "bucket"],
-            filter=(
-                (ds.field("term") >= prefix)
-                & (ds.field("term") < prefix + "￿")
-            ),
+            columns=["term", "df", "idf", "bucket"], filter=flt,
         )
         rows = sorted(
             (
@@ -302,9 +327,6 @@ class SegmentReader:
                     tbl.column("idf").to_pylist(),
                     tbl.column("bucket").to_pylist(),
                 )
-                # exact client-side check — the range scan is the pruning
-                # superset (the U+FFFF sentinel bound is not airtight for
-                # supplementary-plane suffixes)
                 if r[0].startswith(prefix)
             ),
             key=lambda r: (-r[1], r[0]),

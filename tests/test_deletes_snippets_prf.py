@@ -895,3 +895,99 @@ def test_search_after_pages_tile_the_ranking(spark, index, queries):
     assert any(len(v) > 10 for v in want_by.values())  # non-vacuous depth
     for q, docs in want_by.items():
         assert got_by[q][: len(docs)] == docs, q
+
+
+# ---------------------------------------------------------------------------
+# round-5 ADVICE fixes
+# ---------------------------------------------------------------------------
+
+def test_prefix_successor_unit():
+    from flagembedding_spark.serving import _prefix_successor
+
+    assert _prefix_successor("ab") == "ac"
+    assert _prefix_successor("a") == "b"
+    # surrogate gap skipped: U+D7FF + 1 → U+E000 (no valid string between)
+    assert _prefix_successor("x퟿") == "x"
+    # U+10FFFF carries into the previous position
+    assert _prefix_successor("ab\U0010FFFF") == "ac"
+    # all-max prefix: unbounded scan
+    assert _prefix_successor("\U0010FFFF") is None
+    assert _prefix_successor("\U0010FFFF\U0010FFFF") is None
+    # every successor really bounds the prefix range
+    for p in ["emo", "x퟿", "ab\U0010FFFF"]:
+        succ = _prefix_successor(p)
+        assert succ > p
+        assert p + "\U0010FFFF" < succ  # max continuation still inside
+
+
+def test_serving_prefix_supplementary_plane(spark, tmp_path):
+    """A term whose first post-prefix codepoint is supplementary-plane
+    (sorts above U+FFFF) must be found by prefix_topk — the old
+    prefix+U+FFFF upper bound excluded it from the scan entirely."""
+    from flagembedding_spark.serving import SegmentReader
+
+    docs = spark.createDataFrame(
+        [(0, "emo\U0001F600tail common x"), (1, "emoji common y"),
+         (2, "emober common z"), (3, "other common w")],
+        ["doc_id", "text"],
+    )
+    idx = build_index(docs, CFG, content_col="text", docid_long="doc_id")
+    seg = merge_segments(build_segments(idx))
+    root = str(tmp_path / "store")
+    save_segments(seg, root)
+    rd = SegmentReader(root, n_threads=1)
+    got = rd.prefix_topk("emo", k=10)
+    found_docs = {d for d, _, _ in got}
+    assert 0 in found_docs  # the supplementary-plane term's doc
+    assert {0, 1, 2} <= found_docs
+    assert 3 not in found_docs
+
+
+def test_bm25f_all_empty_field_doc_counts_in_n(spark):
+    """A doc whose pre-tokenized array fields are ALL empty must still
+    count in N and carry dl=0 (count-over-documents convention) — its
+    exclusion would shift idf for every term (ADVICE r04)."""
+    import math
+
+    from flagembedding_spark.operators.bm25f import build_bm25f_index
+
+    docs = spark.createDataFrame(
+        [(0, ["alpha", "beta"], ["alpha"]),
+         (1, ["beta"], ["gamma"]),
+         (2, [], [])],
+        ["doc_id", "title", "body"],
+    )
+    idx = build_bm25f_index(docs, [("title", 2), ("body", 1)], config=CFG)
+    assert idx.stats.n_docs == 3
+    stats = {int(r["docid"]): int(r["dl"]) for r in idx.doc_stats.collect()}
+    assert stats == {0: 2 * 2 + 1, 1: 2 + 1, 2: 0}
+    idf = {r["term"]: float(r["idf"]) for r in idx.dictionary.collect()}
+    # beta: df=2 of N=3 → ln((3-2+0.5)/(2+0.5)+1)
+    assert idf["beta"] == pytest.approx(math.log((3 - 2 + 0.5) / 2.5 + 1.0))
+    assert idf["gamma"] == pytest.approx(math.log((3 - 1 + 0.5) / 1.5 + 1.0))
+
+
+def test_snippet_no_match_emits_leading_window(spark):
+    """A hit containing none of the query's terms anchors at position 1:
+    the document's leading window, never a null snippet (defined contract
+    for fused/filtered/expanded result rows)."""
+    from flagembedding_spark.operators.snippets import extract_snippets
+
+    docs = spark.createDataFrame(
+        [(0, "t0 t1 t2 t3 t4 t5 t6 t7 t8"),
+         (1, "hit term here t3 t4 t5 t6")],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame([("q1", "hit term")],
+                                    ["query_id", "query"])
+    results = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 0, 2)],  # doc 0: zero matching terms
+        ["qid", "docid", "rank"],
+    )
+    got = {
+        (r["qid"], int(r["docid"])): r["snippet"]
+        for r in extract_snippets(docs, results, queries,
+                                  width=4, before=1).collect()
+    }
+    assert got[("q1", 1)] == "hit term here t3"  # anchor 1, before clamps
+    assert got[("q1", 0)] == "t0 t1 t2 t3"  # leading window fallback
