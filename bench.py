@@ -562,34 +562,62 @@ def main() -> None:
     tp_blocks_kept = candidate_block_plan(
         seg_tp, qs_tp, k=TOPK, two_phase=True
     )[0].count()
-    wand_topk(seg_tp, qs_tp, k=TOPK, use_wand="auto").count()  # warm
-    t = time.perf_counter()
-    wand_topk(seg_tp, qs_tp, k=TOPK, use_wand="auto").count()
-    timings["wand_twophase_off"] = time.perf_counter() - t
-    t = time.perf_counter()
-    wand_topk(seg_tp, qs_tp, k=TOPK, use_wand="auto", two_phase=True).count()
-    timings["wand_twophase_on"] = time.perf_counter() - t
-    # 'auto' must track the winner: at this (in-memory-local) scale the
-    # dictionary-stats heuristic predicts the prune doesn't repay its
-    # metadata job, so auto ≈ off; at cluster scale it engages.
-    t = time.perf_counter()
-    wand_topk(seg_tp, qs_tp, k=TOPK, use_wand="auto", two_phase="auto").count()
-    timings["wand_twophase_auto"] = time.perf_counter() - t
-    # uniform fixture control: nothing prunable → auto must stay ≈ off
-    t = time.perf_counter()
-    wand_topk(seg_sk, qs_sk, k=TOPK, use_wand="auto", two_phase="auto").count()
-    timings["wand_twophase_auto_uniform"] = time.perf_counter() - t
+    # VERDICT r04 ask #1: the twophase trio ran as unpinned SINGLE-SHOT
+    # legs and the documented bimodal-JVM slow mode landed in the official
+    # record (auto 2.42 s > off 1.42 s while the builder's interleaved
+    # runs read auto ≈ off). Protocol now matches the scaling phase: ≥3
+    # INTERLEAVED reps per variant, per-side MINIMUM reported — the
+    # pre-declared estimator for this host's one-sided noise (legs are
+    # only ever corrupted slower, never faster).
+    trio_reps = max(1, int(os.environ.get("FES_TRIO_REPS", "3")))
+    tp_variants = [
+        ("wand_twophase_off",
+         lambda: wand_topk(seg_tp, qs_tp, k=TOPK, use_wand="auto").count()),
+        ("wand_twophase_on",
+         lambda: wand_topk(seg_tp, qs_tp, k=TOPK, use_wand="auto",
+                           two_phase=True).count()),
+        # 'auto' must track the winner: at this (in-memory-local) scale the
+        # dictionary-stats heuristic predicts the prune doesn't repay its
+        # metadata job, so auto ≈ off; at cluster scale it engages.
+        ("wand_twophase_auto",
+         lambda: wand_topk(seg_tp, qs_tp, k=TOPK, use_wand="auto",
+                           two_phase="auto").count()),
+        # uniform fixture control: nothing prunable → auto must stay ≈ off
+        ("wand_twophase_auto_uniform",
+         lambda: wand_topk(seg_sk, qs_sk, k=TOPK, use_wand="auto",
+                           two_phase="auto").count()),
+    ]
+    for _, fn in tp_variants:
+        fn()  # warm each variant once (plan compile + page cache)
+    tp_reps: dict[str, list[float]] = {name: [] for name, _ in tp_variants}
+    for _ in range(trio_reps):
+        for name, fn in tp_variants:  # interleaved: one rep of each, repeat
+            t = time.perf_counter()
+            fn()
+            tp_reps[name].append(time.perf_counter() - t)
+    for name, reps_ in tp_reps.items():
+        timings[name] = min(reps_)  # per-side min (one-sided noise)
     from flagembedding_spark.operators.wand import release_two_phase_cache
 
     release_two_phase_cache()
 
     # --- synthetic-corpus build throughput at full parallelism ---
-    t = time.perf_counter()
-    t_build, t_query, n_postings, _, _phase = build_and_query_once(
-        spark, n_docs, partitions=max(cpus * 2, 16)
-    )
+    # Same ask-#1 protocol: ≥3 reps, per-side min. Each rep rebuilds from
+    # scratch (fresh synthetic corpus scan → postings → dictionary), so
+    # reps measure the full build path, and the min discards reps that
+    # drew the slow-JVM lottery.
+    synth_reps = max(1, int(os.environ.get("FES_SYNTH_REPS", "3")))
+    build_times, query_times = [], []
+    n_postings = 0
+    for _ in range(synth_reps):
+        t_build, t_query, n_postings, _, _phase = build_and_query_once(
+            spark, n_docs, partitions=max(cpus * 2, 16)
+        )
+        build_times.append(t_build)
+        query_times.append(t_query)
+    t_build = min(build_times)
     timings["index_build_synth"] = t_build
-    timings["bm25_topk_synth"] = t_query
+    timings["bm25_topk_synth"] = min(query_times)
     spark.stop()
 
     index_metrics = {
@@ -598,6 +626,7 @@ def main() -> None:
         "synth_docs": n_docs,
         "synth_postings": n_postings,
         "synth_files_per_sec": round(n_docs / t_build, 1),
+        "synth_build_reps": [round(x, 3) for x in build_times],
         "twophase_blocks_all": tp_blocks_all,
         "twophase_blocks_kept": tp_blocks_kept,
     }
@@ -633,13 +662,26 @@ def main() -> None:
             f"{hi_key}_pass_sec": scaling[hi_key]["corpus_pass_sec"],
             f"{hi_key}_files_per_sec": scaling[hi_key]["files_per_sec"],
         }
+    # Headline files_per_sec comes from the PINNED scaling legs when they
+    # ran (watchdogged, interleaved, per-side-min — the protocol-sound
+    # measurement); the unpinned in-session synth leg is recorded
+    # separately as files_per_sec_synth (VERDICT r04 ask #1).
+    files_per_sec = index_metrics["synth_files_per_sec"]
+    if scaling_head is not None:
+        hi_fps = next(
+            (v for k, v in scaling_head.items()
+             if k.endswith("_files_per_sec")), None,
+        )
+        if hi_fps:
+            files_per_sec = hi_fps
     out = {
         "metric": "bm25_index_build_and_topk",
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": sf,
-        "files_per_sec": index_metrics["synth_files_per_sec"],
+        "files_per_sec": files_per_sec,
+        "files_per_sec_synth": index_metrics["synth_files_per_sec"],
         "twophase_blocks": [tp_blocks_all, tp_blocks_kept],
         "scaling": scaling_head,
         "detail": "BENCH_DETAIL.json",
