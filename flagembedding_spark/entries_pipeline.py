@@ -3230,3 +3230,312 @@ def q_bm25_topk_filtered_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIPELINE_ENTRIES["bm25_topk_filtered_wand"] = q_bm25_topk_filtered_wand
 PIPELINE_ORACLE_SQL["bm25_topk_filtered_wand"] = _filtered_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round-5 Lucene query-surface widening: MUST_NOT, term boosts, collapse,
+# facets, ClassicSimilarity, spell suggest — each a DataFrame-engine
+# operator plus a first-principles DuckDB oracle
+# ---------------------------------------------------------------------------
+
+MUSTNOT_TERMS = ["table", "stream"]
+
+
+def q_bm25_topk_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BooleanClause.MUST_NOT: docs containing ANY prohibited term are
+    removed from candidates; survivors keep their unmodified BM25 score
+    (operators/query.py must_not)."""
+    idx = build_doc_index(spark, sf_dir)
+    qdf = _queries_df(spark)
+    nt = spark.createDataFrame(
+        [(q, t) for q, _ in QUERY_SET for t in MUSTNOT_TERMS],
+        ["qid", "term"],
+    )
+    return bm25_topk(idx, qdf, k=TOPK, round_scores=4, must_not=nt)
+
+
+def _must_not_oracle() -> str:
+    from flagembedding_spark.entries import (
+        _BASE_CTES,
+        _qterm_ctes,
+        _scored_sql,
+    )
+
+    nt_vals = ", ".join(
+        f"('{q}', '{t}')" for q, _ in QUERY_SET for t in MUSTNOT_TERMS
+    )
+    return f"""
+WITH {_BASE_CTES.strip()},
+{_qterm_ctes().strip()},
+{_scored_sql(K1, B, True).strip()},
+nt(qid, term) AS (VALUES {nt_vals}),
+kept AS (
+  SELECT s.* FROM scored s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tf x JOIN nt ON x.term = nt.term
+    WHERE x.doc_id = s.docid AND nt.qid = s.qid
+  )
+),
+ranked AS (
+  SELECT qid, docid, round(score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY round(score, 4) DESC, docid ASC) AS INT) AS rank
+  FROM kept
+)
+SELECT qid, docid, score, rank FROM ranked WHERE rank <= {TOPK}
+ORDER BY qid, rank
+"""
+
+
+PIPELINE_ENTRIES["bm25_topk_must_not"] = q_bm25_topk_must_not
+PIPELINE_ORACLE_SQL["bm25_topk_must_not"] = _must_not_oracle()
+
+
+BOOST_QUERY_SET = [
+    ("bq1", "data^2 scan"),
+    ("bq2", "sort order^3"),
+    ("bq3", "key^0.5 value filter"),
+    ("bq4", "merge merge^2 window"),   # repeats sum their boosts (1+2)
+]
+
+
+def q_bm25_topk_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene ``term^boost`` query syntax: boosts scale each term's partial
+    contribution (query.py boosted_query_terms + boosts=)."""
+    from flagembedding_spark.operators.query import boosted_query_terms
+
+    idx = build_doc_index(spark, sf_dir)
+    qdf = spark.createDataFrame(BOOST_QUERY_SET, ["query_id", "query"])
+    qterms, boosts = boosted_query_terms(qdf)
+    return bm25_topk(
+        idx, qdf, k=TOPK, round_scores=4, qterms=qterms, boosts=boosts,
+    )
+
+
+def _parse_boosts_py(qs: list[tuple[str, str]]) -> list[tuple[str, str, float]]:
+    """Driver-side twin of boosted_query_terms' parse rule — used only to
+    build the oracle's VALUES list (independent re-derivation in SQL would
+    just re-implement a regex; the parity that matters — scoring — is
+    recomputed from raw text by the oracle)."""
+    import re
+
+    out: dict[tuple[str, str], float] = {}
+    for qid, q in qs:
+        for tok in q.split(" "):
+            m = re.search(r"\^(\d+(?:\.\d+)?)$", tok)
+            term = re.sub(r"\^(\d+(?:\.\d+)?)$", "", tok)
+            w = float(m.group(1)) if m else 1.0
+            out[(qid, term)] = out.get((qid, term), 0.0) + w
+    return [(q, t, w) for (q, t), w in out.items()]
+
+
+def _boosted_oracle() -> str:
+    from flagembedding_spark.entries import _BASE_CTES
+
+    rows = ", ".join(
+        f"('{q}', '{t}', {w!r})" for q, t, w in _parse_boosts_py(BOOST_QUERY_SET)
+    )
+    return f"""
+WITH {_BASE_CTES.strip()},
+qboost(qid, term, boost) AS (VALUES {rows}),
+scored AS (
+  SELECT q.qid AS qid, t.doc_id AS docid,
+         sum(q.boost
+             * ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * ({K1} + 1.0) * t.tf
+             / (t.tf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl))) AS score
+  FROM tf t
+  JOIN df d USING (term)
+  JOIN qboost q USING (term)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY q.qid, t.doc_id
+),
+ranked AS (
+  SELECT qid, docid, round(score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY round(score, 4) DESC, docid ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT qid, docid, score, rank FROM ranked WHERE rank <= {TOPK}
+ORDER BY qid, rank
+"""
+
+
+PIPELINE_ENTRIES["bm25_topk_boosted"] = q_bm25_topk_boosted
+PIPELINE_ORACLE_SQL["bm25_topk_boosted"] = _boosted_oracle()
+
+
+def q_bm25_collapse_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing (one best hit per lang, then top-k groups) —
+    operators/grouping.collapse_topk."""
+    from flagembedding_spark.operators.grouping import collapse_topk
+
+    idx = build_doc_index(spark, sf_dir)
+    meta = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docid"), "lang"
+    )
+    return collapse_topk(
+        idx, _queries_df(spark), meta, "lang", k=TOPK, round_scores=4,
+    )
+
+
+def _collapse_oracle() -> str:
+    from flagembedding_spark.entries import (
+        _BASE_CTES,
+        _qterm_ctes,
+        _scored_sql,
+    )
+
+    return f"""
+WITH {_BASE_CTES.strip()},
+{_qterm_ctes().strip()},
+{_scored_sql(K1, B, True).strip()},
+grouped AS (
+  SELECT s.qid, s.docid, round(s.score, 4) AS score, d.lang AS "group",
+         row_number() OVER (PARTITION BY s.qid, d.lang
+                ORDER BY round(s.score, 4) DESC, s.docid ASC) AS r_in
+  FROM scored s JOIN documents d ON d.doc_id = s.docid
+),
+collapsed AS (
+  SELECT qid, docid, score, "group",
+         CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY score DESC, docid ASC) AS INT) AS rank
+  FROM grouped WHERE r_in = 1
+)
+SELECT qid, docid, score, "group", rank FROM collapsed WHERE rank <= {TOPK}
+ORDER BY qid, rank
+"""
+
+
+PIPELINE_ENTRIES["bm25_collapse_lang"] = q_bm25_collapse_lang
+PIPELINE_ORACLE_SQL["bm25_collapse_lang"] = _collapse_oracle()
+
+
+def q_facet_counts_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet counting over the full match set (docs containing >=1 query
+    term) by lang — operators/grouping.facet_counts."""
+    from flagembedding_spark.operators.grouping import facet_counts
+
+    idx = build_doc_index(spark, sf_dir)
+    meta = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docid"), "lang"
+    )
+    return facet_counts(idx, _queries_df(spark), meta, "lang")
+
+
+def _facet_oracle() -> str:
+    from flagembedding_spark.entries import _BASE_CTES, _qterm_ctes
+
+    return f"""
+WITH {_BASE_CTES.strip()},
+{_qterm_ctes().strip()},
+cand AS (
+  SELECT DISTINCT q.qid, t.doc_id
+  FROM tf t JOIN qterms q USING (term)
+)
+SELECT c.qid, d.lang AS facet, count(*) AS n_docs
+FROM cand c JOIN documents d ON d.doc_id = c.doc_id
+GROUP BY c.qid, d.lang
+ORDER BY c.qid, facet
+"""
+
+
+PIPELINE_ENTRIES["facet_counts_lang"] = q_facet_counts_lang
+PIPELINE_ORACLE_SQL["facet_counts_lang"] = _facet_oracle()
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClassicSimilarity (pre-BM25 Lucene TF-IDF with coord) over the same
+    index/plan — operators/tfidf.tfidf_topk."""
+    from flagembedding_spark.operators.tfidf import tfidf_topk
+
+    idx = build_doc_index(spark, sf_dir)
+    return tfidf_topk(idx, _queries_df(spark), k=TOPK, round_scores=4)
+
+
+def _tfidf_oracle() -> str:
+    from flagembedding_spark.entries import _BASE_CTES, _qterm_ctes
+
+    return f"""
+WITH {_BASE_CTES.strip()},
+{_qterm_ctes().strip()},
+scored_c AS (
+  SELECT q.qid AS qid, t.doc_id AS docid,
+         sum(q.qtf * pow(1.0 + ln(s.n / (d.df + 1.0)), 2)
+             * sqrt(t.tf) / sqrt(l.dl)) AS raw,
+         count(*) AS nmatched
+  FROM tf t
+  JOIN df d USING (term)
+  JOIN qterms q USING (term)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY q.qid, t.doc_id
+),
+mtot AS (SELECT qid, count(*) AS m_total FROM qterms GROUP BY qid),
+ranked AS (
+  SELECT s.qid, s.docid,
+         round(s.raw * s.nmatched / m.m_total, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY s.qid
+                ORDER BY round(s.raw * s.nmatched / m.m_total, 4) DESC,
+                         s.docid ASC) AS INT) AS rank
+  FROM scored_c s JOIN mtot m USING (qid)
+)
+SELECT qid, docid, score, rank FROM ranked WHERE rank <= {TOPK}
+ORDER BY qid, rank
+"""
+
+
+PIPELINE_ENTRIES["tfidf_topk"] = q_tfidf_topk
+PIPELINE_ORACLE_SQL["tfidf_topk"] = _tfidf_oracle()
+
+
+SUGGEST_SET = [
+    ("sg1", "scann"),    # → scan
+    ("sg2", "ordr"),     # → order / a / ...
+    ("sg3", "filtre"),   # → filter
+    ("sg4", "tabel"),    # → table
+]
+SUGGEST_EDITS, SUGGEST_N = 2, 5
+
+
+def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DirectSpellChecker analog: dictionary terms within Levenshtein
+    <= 2, exact term excluded, ranked (df DESC, term ASC), top 5 —
+    operators/termquery.spell_suggest."""
+    from flagembedding_spark.operators.termquery import spell_suggest
+
+    idx = build_doc_index(spark, sf_dir)
+    tdf = spark.createDataFrame(SUGGEST_SET, ["query_id", "qterm"])
+    return spell_suggest(
+        idx, tdf, max_edits=SUGGEST_EDITS, n_suggest=SUGGEST_N,
+    )
+
+
+def _suggest_oracle() -> str:
+    from flagembedding_spark.entries import _BASE_CTES
+
+    rows = ", ".join(f"('{q}', '{t}')" for q, t in SUGGEST_SET)
+    return f"""
+WITH {_BASE_CTES.strip()},
+miss(qid, qterm) AS (VALUES {rows}),
+cand AS (
+  SELECT m.qid, d.term AS suggestion, d.df
+  FROM df d JOIN miss m
+    ON abs(length(d.term) - length(m.qterm)) <= {SUGGEST_EDITS}
+   AND d.term <> m.qterm
+   AND levenshtein(d.term, m.qterm) <= {SUGGEST_EDITS}
+),
+ranked AS (
+  SELECT qid, suggestion, df,
+         CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY df DESC, suggestion ASC) AS INT) AS rank
+  FROM cand
+)
+SELECT qid, suggestion, df, rank FROM ranked WHERE rank <= {SUGGEST_N}
+ORDER BY qid, rank
+"""
+
+
+PIPELINE_ENTRIES["spell_suggest"] = q_spell_suggest
+PIPELINE_ORACLE_SQL["spell_suggest"] = _suggest_oracle()

@@ -44,6 +44,39 @@ def query_terms(queries: DataFrame, qid_col: str = "query_id",
     )
 
 
+def boosted_query_terms(
+    queries: DataFrame,
+    qid_col: str = "query_id",
+    query_col: str = "query",
+) -> tuple[DataFrame, DataFrame]:
+    """Parse Lucene ``term^boost`` query syntax → (plain_queries_qterms,
+    boosts) for ``bm25_topk(..., boosts=...)``.
+
+    Each whitespace token optionally carries a ``^<number>`` suffix
+    (``error^2`` or ``error^2.5``); a bare token boosts at 1.0. Duplicate
+    occurrences of a term SUM their boosts (each occurrence contributes
+    its own boosted partial — the qtf-revisit semantics of the unboosted
+    engine, reference modeling_bm25.py:217). Pure JVM regex — no Python.
+
+    Returns (qterms, boosts): ``qterms`` is (qid, term, qtf=1) with the
+    boost markers stripped — feed the SUMMED boost through ``boosts``
+    so partial = idf·tfnorm·Σboosts exactly."""
+    tok = F.explode(whitespace_tokens(query_col)).alias("tok")
+    raw = queries.select(F.col(qid_col).alias("qid"), tok)
+    boost_re = r"\^(\d+(?:\.\d+)?)$"
+    parsed = raw.select(
+        "qid",
+        F.regexp_replace("tok", boost_re, "").alias("term"),
+        F.coalesce(
+            F.nullif(F.regexp_extract("tok", boost_re, 1), F.lit("")),
+            F.lit("1.0"),
+        ).cast("double").alias("b1"),
+    )
+    agg = parsed.groupBy("qid", "term").agg(F.sum("b1").alias("boost"))
+    qterms = agg.select("qid", "term", F.lit(1).cast("long").alias("qtf"))
+    return qterms, agg.select("qid", "term", "boost")
+
+
 def bm25_partial_scores(
     index: InvertedIndex,
     qterms: DataFrame,
@@ -57,14 +90,19 @@ def bm25_partial_scores(
     avgdl = index.avgdl_effective
 
     # tiny: only terms that appear in some query survive this join
-    qt_idf = index.dictionary.join(F.broadcast(qterms), "term").select(
-        "term", "qid", "qtf", "idf"
+    qt_cols = ["term", "qid", "qtf", "idf"] + (
+        ["boost"] if "boost" in qterms.columns else []
     )
+    qt_idf = index.dictionary.join(F.broadcast(qterms), "term").select(*qt_cols)
 
     tf = F.col("tf").cast("double")
     dl = F.col("dl").cast("double")
     denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
     partial = F.col("qtf") * F.col("idf") * F.lit(k1 + 1.0) * tf / denom
+    if "boost" in qterms.columns:
+        # per-term query boost (Lucene `term^boost`): scales the term's
+        # partial contribution only — document stats untouched
+        partial = partial * F.col("boost")
 
     return index.postings.join(F.broadcast(qt_idf), "term").select(
         "qid", "docid", partial.alias("s")
@@ -83,6 +121,9 @@ def bm25_topk(
     min_should_match: int | str = 0,
     exclude_docids=None,
     include_docids: DataFrame | None = None,
+    boosts: DataFrame | None = None,
+    must_not: DataFrame | None = None,
+    qterms: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 per query: (qid, docid, score, rank). Deterministic ties.
 
@@ -111,9 +152,29 @@ def bm25_topk(
     Lucene filter query). Applied as a docid join before ranking; at
     cluster scale a hot recurring filter (e.g. per-language) belongs in
     the index layout (partitionBy) instead — this is the ad-hoc path.
+
+    ``boosts``: per-(qid, term) query boosts (Lucene ``term^boost``) — a
+    (qid, term, boost) DataFrame; unlisted terms default to 1.0. Scales
+    the term's partial contribution only; document statistics untouched.
+    Parse Lucene boost syntax with ``boosted_query_terms``.
+
+    ``must_not``: Lucene BooleanClause.MUST_NOT — a (qid, term) DataFrame;
+    docs containing ANY prohibited term for that query are removed from
+    candidates (exclusion never rescores survivors).
     """
     k = min(k, index.stats.n_docs) if index.stats.n_docs else k
-    qt = query_terms(queries, qid_col, query_col)
+    qt = (
+        qterms
+        if qterms is not None
+        else query_terms(queries, qid_col, query_col)
+    )
+    if boosts is not None:
+        # Lucene `term^boost`: scale a term's contribution (query-set-sized
+        # artifact — broadcast left join, unboosted terms default to 1.0)
+        qt = qt.join(
+            F.broadcast(boosts.select("qid", "term", "boost")),
+            ["qid", "term"], "left",
+        ).withColumn("boost", F.coalesce(F.col("boost"), F.lit(1.0)))
     scored = (
         bm25_partial_scores(index, qt, k1, b)
         .groupBy("qid", "docid")
@@ -127,6 +188,21 @@ def bm25_topk(
     elif min_should_match:
         scored = scored.filter(F.col("nmatched") >= int(min_should_match))
     scored = scored.select("qid", "docid", "score")
+    if must_not is not None:
+        # Lucene BooleanClause.MUST_NOT: a doc containing ANY of the
+        # query's prohibited terms is removed from candidates — exclusion
+        # never rescores survivors. The not-term list is query-set-sized
+        # (broadcast into the postings scan, same shape as the positive
+        # lookup); the anti-join runs on (qid, docid) — the aggregation's
+        # own grouping keys — so the scored side needs no extra exchange.
+        not_docs = (
+            index.postings.join(
+                F.broadcast(must_not.select("qid", "term")), "term"
+            )
+            .select("qid", "docid")
+            .distinct()
+        )
+        scored = scored.join(not_docs, ["qid", "docid"], "left_anti")
     if include_docids is not None:
         # filter sets are metadata-selection-sized (≪ corpus); broadcast so
         # the semi-join never shuffles the scored side (AQE usually converts

@@ -204,3 +204,38 @@ def fuzzy_search_topk(
         index, terms, max_edits, max_expansions, qid_col, term_col
     )
     return _score_expanded(index, qt, k, round_scores)
+
+
+def spell_suggest(
+    index: InvertedIndex,
+    terms: DataFrame,
+    max_edits: int = 2,
+    n_suggest: int = 5,
+    qid_col: str = "query_id",
+    term_col: str = "qterm",
+) -> DataFrame:
+    """→ (qid, suggestion, df, rank): spelling corrections per query term —
+    the Lucene DirectSpellChecker analog, ranked the way its default
+    comparator breaks ties after edit distance is windowed: higher-df
+    (more popular) terms first, then lexicographic. The exact input term
+    is EXCLUDED (a suggestion must differ); candidates come from the same
+    length-windowed Levenshtein dictionary scan as expand_fuzzy
+    (dictionary-sized, broadcast query side, no postings touched)."""
+    q = terms.select(
+        F.col(qid_col).alias("qid"), F.col(term_col).alias("qterm")
+    )
+    cand = index.dictionary.select("term", "df").join(
+        F.broadcast(q),
+        (
+            F.abs(F.length("term") - F.length("qterm"))
+            <= F.lit(max_edits)
+        )
+        & (F.col("term") != F.col("qterm"))
+        & (F.levenshtein("term", "qterm") <= F.lit(max_edits)),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_suggest)
+        .select("qid", F.col("term").alias("suggestion"), "df", "rank")
+    )

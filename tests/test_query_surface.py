@@ -1,0 +1,169 @@
+"""Round-5 Lucene query-surface operators: MUST_NOT, term boosts,
+field collapsing, facet counts, ClassicSimilarity, spell suggest."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flagembedding_spark.config import BM25Config
+from flagembedding_spark.operators.index_build import build_index
+from flagembedding_spark.operators.query import (
+    bm25_topk,
+    boosted_query_terms,
+)
+
+CFG = BM25Config(k1=1.2, b=0.75)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "alpha beta gamma", "py"),
+            (1, "alpha alpha delta", "py"),
+            (2, "beta delta epsilon", "go"),
+            (3, "alpha beta beta table", "go"),
+            (4, "gamma delta table", "rs"),
+        ],
+        ["doc_id", "text", "lang"],
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def index(docs):
+    return build_index(docs, CFG, content_col="text", docid_long="doc_id")
+
+
+def _rows(df):
+    return {
+        (r["qid"], int(r["docid"])): (float(r["score"]), int(r["rank"]))
+        for r in df.collect()
+    }
+
+
+def test_boosted_query_terms_parse(spark):
+    qdf = spark.createDataFrame(
+        [("q1", "a^2 b a"), ("q2", "c^0.5"), ("q3", "plain")],
+        ["query_id", "query"],
+    )
+    qterms, boosts = boosted_query_terms(qdf)
+    b = {(r["qid"], r["term"]): float(r["boost"]) for r in boosts.collect()}
+    # duplicate occurrences sum their boosts: a^2 + a → 3.0
+    assert b == {("q1", "a"): 3.0, ("q1", "b"): 1.0, ("q2", "c"): 0.5,
+                 ("q3", "plain"): 1.0}
+    qt = {(r["qid"], r["term"]): int(r["qtf"]) for r in qterms.collect()}
+    assert all(v == 1 for v in qt.values())  # qtf folded into the boost sum
+
+
+def test_boost_one_is_identity(spark, index):
+    qdf = spark.createDataFrame(
+        [("q1", "alpha beta"), ("q2", "delta delta gamma")],
+        ["query_id", "query"],
+    )
+    want = _rows(bm25_topk(index, qdf, k=5))
+    qterms, boosts = boosted_query_terms(qdf)
+    got = _rows(bm25_topk(index, qdf, k=5, qterms=qterms, boosts=boosts))
+    for key, (score, rank) in want.items():
+        assert got[key][0] == pytest.approx(score, rel=1e-12)
+        assert got[key][1] == rank
+
+
+def test_boost_scales_term_contribution(spark, index):
+    plain = spark.createDataFrame([("q", "alpha gamma")],
+                                  ["query_id", "query"])
+    boosted = spark.createDataFrame([("q", "alpha^2 gamma")],
+                                    ["query_id", "query"])
+    qterms, boosts = boosted_query_terms(boosted)
+    got = _rows(bm25_topk(index, boosted, k=5, qterms=qterms, boosts=boosts))
+    base = _rows(bm25_topk(index, plain, k=5))
+    # recompute expected: doubled alpha partial + unchanged gamma partial.
+    # doc 1 (alpha-only match): exactly 2× its plain score.
+    assert got[("q", 1)][0] == pytest.approx(2 * base[("q", 1)][0], rel=1e-12)
+
+
+def test_must_not_removes_and_never_rescores(spark, index, docs):
+    qdf = spark.createDataFrame([("q1", "alpha delta")],
+                                ["query_id", "query"])
+    nt = spark.createDataFrame([("q1", "table")], ["qid", "term"])
+    plain = _rows(bm25_topk(index, qdf, k=5))
+    got = _rows(bm25_topk(index, qdf, k=5, must_not=nt))
+    # docs 3 and 4 contain 'table' → gone; doc 0,1,2 survive, scores intact
+    surviving = {d for (_, d) in got}
+    assert surviving == {0, 1, 2}
+    for key, (score, _) in got.items():
+        assert score == pytest.approx(plain[key][0], rel=1e-12)
+    # rank re-densifies 1..n
+    assert sorted(r for _, r in got.values()) == [1, 2, 3]
+
+
+def test_collapse_topk(spark, index, docs):
+    from flagembedding_spark.operators.grouping import collapse_topk
+
+    qdf = spark.createDataFrame([("q1", "alpha beta delta")],
+                                ["query_id", "query"])
+    meta = docs.select(F.col("doc_id").alias("docid"), "lang")
+    got = collapse_topk(index, qdf, meta, "lang", k=10).collect()
+    langs = [r["group"] for r in got]
+    assert sorted(langs) == sorted(set(langs))  # one hit per group
+    # each group's winner beats every other candidate of that group
+    full = _rows(bm25_topk(index, qdf, k=10))
+    lang_of = {int(r["doc_id"]): r["lang"] for r in docs.collect()}
+    for r in got:
+        g, s = r["group"], float(r["score"])
+        for (_, d), (score, _) in full.items():
+            if lang_of[d] == g:
+                assert (score, -d) <= (s + 1e-12, -int(r["docid"]) + 1e-12) or \
+                    score <= s + 1e-9
+    # ranks dense over groups
+    assert sorted(int(r["rank"]) for r in got) == list(range(1, len(got) + 1))
+
+
+def test_facet_counts(spark, index, docs):
+    from flagembedding_spark.operators.grouping import facet_counts
+
+    qdf = spark.createDataFrame([("q1", "alpha"), ("q2", "epsilon")],
+                                ["query_id", "query"])
+    meta = docs.select(F.col("doc_id").alias("docid"), "lang")
+    got = {
+        (r["qid"], r["facet"]): int(r["n_docs"])
+        for r in facet_counts(index, qdf, meta, "lang").collect()
+    }
+    # alpha in docs 0,1 (py) and 3 (go); epsilon in doc 2 (go)
+    assert got == {("q1", "py"): 2, ("q1", "go"): 1, ("q2", "go"): 1}
+
+
+def test_tfidf_classic_hand_computed(spark, index):
+    from flagembedding_spark.operators.tfidf import classic_idf, tfidf_topk
+
+    qdf = spark.createDataFrame([("q1", "alpha beta")],
+                                ["query_id", "query"])
+    got = _rows(tfidf_topk(index, qdf, k=5))
+    n = 5
+    idf_a = classic_idf(n, 3)  # alpha df=3
+    idf_b = classic_idf(n, 3)  # beta df=3
+    # doc 3 = "alpha beta beta table": dl=4, tf_a=1 tf_b=2, both matched
+    want3 = (2 / 2) * (
+        idf_a ** 2 * math.sqrt(1) / math.sqrt(4)
+        + idf_b ** 2 * math.sqrt(2) / math.sqrt(4)
+    )
+    assert got[("q1", 3)][0] == pytest.approx(want3, rel=1e-9)
+    # doc 1 = "alpha alpha delta": dl=3, tf_a=2, coord 1/2
+    want1 = (1 / 2) * (idf_a ** 2 * math.sqrt(2) / math.sqrt(3))
+    assert got[("q1", 1)][0] == pytest.approx(want1, rel=1e-9)
+
+
+def test_spell_suggest(spark, index):
+    from flagembedding_spark.operators.termquery import spell_suggest
+
+    tdf = spark.createDataFrame([("s1", "alpa"), ("s2", "beta")],
+                                ["query_id", "qterm"])
+    got = [
+        (r["qid"], r["suggestion"], int(r["df"]), int(r["rank"]))
+        for r in spell_suggest(index, tdf, max_edits=1, n_suggest=5).collect()
+    ]
+    s1 = [g for g in got if g[0] == "s1"]
+    assert [g[1] for g in s1] == ["alpha"]  # 1 edit
+    s2 = [g[1] for g in got if g[0] == "s2"]
+    assert "beta" not in s2  # exact term excluded
+    assert "delta" not in s2  # 2 edits > max_edits=1
