@@ -3539,3 +3539,40 @@ ORDER BY qid, rank
 
 PIPELINE_ENTRIES["spell_suggest"] = q_spell_suggest
 PIPELINE_ORACLE_SQL["spell_suggest"] = _suggest_oracle()
+
+
+def q_bm25_topk_must_not_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUST_NOT on the SEGMENT path: prohibited terms ride the block plan
+    flagged w=0 and are decoded into a per-query drop set in-kernel before
+    scoring (wand.py must_not). Shares _must_not_oracle with the DataFrame
+    path — both engines and the SQL oracle must agree exactly."""
+    from pyspark.sql.window import Window as _W
+
+    from flagembedding_spark.operators.segments import (
+        build_segments,
+        merge_segments,
+    )
+    from flagembedding_spark.operators.wand import wand_topk
+
+    idx = build_doc_index(spark, sf_dir)
+    seg = merge_segments(build_segments(idx))
+    nt = spark.createDataFrame(
+        [(q, t) for q, _ in QUERY_SET for t in MUSTNOT_TERMS],
+        ["qid", "term"],
+    )
+    raw = wand_topk(
+        seg, _queries_df(spark), k=TOPK + 50, use_wand=True, must_not=nt,
+    )
+    w = _W.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 4)), F.asc("docid")
+    )
+    return (
+        raw.withColumn("score", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "docid", "score", "rank")
+    )
+
+
+PIPELINE_ENTRIES["bm25_topk_must_not_wand"] = q_bm25_topk_must_not_wand
+PIPELINE_ORACLE_SQL["bm25_topk_must_not_wand"] = _must_not_oracle()

@@ -235,6 +235,36 @@ def _wand_query(qid: str, term_blocks: dict, k: int):
     return [(qid, -nd, s, r + 1) for r, (s, nd) in enumerate(out)]
 
 
+class _UnionDead:
+    """Per-query drop set: a MUST_NOT clause's decoded docids unioned with
+    the global exclude set (array / DocidBitmap / DocidMask). Duck-types
+    the `contains` hook _mask_dead dispatches on."""
+
+    __slots__ = ("base", "extra")
+
+    def __init__(self, base, extra_sorted: np.ndarray):
+        self.base = base          # None | array | bitmap/mask (.contains)
+        self.extra = extra_sorted  # sorted int64
+
+    def __len__(self) -> int:
+        return 1  # truthy: len only gates the no-op fast path
+
+    def contains(self, d: np.ndarray) -> np.ndarray:
+        d = np.asarray(d, dtype=np.int64)
+        if self.extra.size:
+            pos = np.searchsorted(self.extra, d)
+            np.minimum(pos, self.extra.size - 1, out=pos)
+            drop = self.extra[pos] == d
+        else:
+            drop = np.zeros(d.size, dtype=bool)
+        if self.base is not None:
+            if hasattr(self.base, "contains"):
+                drop |= self.base.contains(d)
+            else:
+                drop |= np.isin(d, self.base)
+        return drop
+
+
 def _mask_dead(d: np.ndarray, s: np.ndarray, dead):
     """Drop tombstoned docids from a decoded (docid, score) stream. Applied
     IMMEDIATELY after decode in every kernel so deleted docs cease to exist
@@ -809,6 +839,7 @@ def wand_topk(
     min_should_match: int | str = 0,
     qterms: DataFrame | None = None,
     include_docids=None,
+    must_not: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 over the merged segment index.
 
@@ -848,6 +879,14 @@ def wand_topk(
     Same two_phase incompatibility as exclude_docids. Filter sets are
     selection-sized; a hot recurring filter belongs in the index layout.
 
+    ``must_not``: Lucene BooleanClause.MUST_NOT — a (qid, term)
+    DataFrame. Prohibited terms ride the same block plan flagged w=0;
+    the kernel decodes them into a per-query drop set BEFORE scoring
+    (posting-iterator subtraction, task-local in both layouts), so docs
+    containing any prohibited term never reach θ/bounds/match counts.
+    A term both scored and prohibited follows MUST_NOT precedence.
+    Incompatible with two_phase=True ('auto' degrades to off).
+
     ``min_should_match``: same Boolean semantics as the DataFrame engine
     (query.py) — int n keeps docs matching ≥ n distinct query terms,
     ``'all'`` is conjunctive AND (OOV term ⇒ empty). Routes every query
@@ -866,9 +905,32 @@ def wand_topk(
     # re-scopes which docs can reach top-k at all — either combination can
     # silently drop surviving results. Explicit two_phase=True with either
     # is an error; 'auto' degrades to off (the prune simply never engages).
+    if must_not is not None:
+        # MUST_NOT on the segment path: prohibited terms ride the SAME
+        # block plan as scoring terms, flagged by qtf=0 → w=0.0 (a scoring
+        # term's w is strictly positive: qtf ≥ 1 and idf > 0 by the BM25+1
+        # formula). The kernel decodes w=0 streams into a per-query drop
+        # set BEFORE any scoring/pruning — Lucene's posting-iterator
+        # subtraction, task-local in both layouts (term layout: all of a
+        # query's streams share its task; doc layout: a doc's postings for
+        # every term share its bucket).
+        qt_base = (
+            qterms.select("qid", "term", "qtf")
+            if qterms is not None
+            else query_terms(queries, qid_col, query_col)
+        )
+        neg_qt = must_not.select("qid", "term").distinct()
+        # MUST_NOT precedence (Lucene): a term both scored and prohibited
+        # scores no doc — every doc containing it is excluded — so its
+        # positive row is dropped rather than letting the (qid, term)
+        # streams collide in the kernel's per-term packing
+        qterms = qt_base.join(neg_qt, ["qid", "term"], "left_anti").unionByName(
+            neg_qt.withColumn("qtf", F.lit(0).cast("long"))
+        )
     if two_phase and (
         exclude_docids is not None
         or include_docids is not None
+        or must_not is not None
         or min_should_match
     ):
         if two_phase == "auto":
@@ -876,7 +938,7 @@ def wand_topk(
         else:
             raise ValueError(
                 "two_phase=True is incompatible with exclude_docids / "
-                "include_docids / min_should_match (the prune's "
+                "include_docids / must_not / min_should_match (the prune's "
                 "θ-preservation argument assumes disjunctive scoring over "
                 "live, unrestricted docs); use two_phase='auto' or False, "
                 "or compact_store first"
@@ -946,7 +1008,8 @@ def wand_topk(
         # (an OOV term makes the equality unsatisfiable → empty, as
         # Lucene AND); query-set-sized collect
         _qt_for_m = (
-            qterms.select("qid", "term")
+            # qtf=0 rows are MUST_NOT markers, never required matches
+            qterms.filter(F.col("qtf") > 0).select("qid", "term")
             if qterms is not None
             else query_terms(queries, qid_col, query_col)
         )
@@ -961,7 +1024,7 @@ def wand_topk(
         if int(min_should_match) < 0:
             raise ValueError("min_should_match must be >= 0 or 'all'")
         mode = "conjunctive"
-    if dead_arr is not None and mode == "daat":
+    if (dead_arr is not None or must_not is not None) and mode == "daat":
         # the classic per-pivot cursor has no mask hook; the vectorized
         # pruned kernel is mask-aware and at least as fast
         mode = "pruned"
@@ -1001,6 +1064,29 @@ def wand_topk(
                 )
                 for t, e in tb.items()
             }
+            # MUST_NOT streams (w == 0.0 — see the qtf=0 marker contract):
+            # decode to a per-query drop set BEFORE scoring so prohibited
+            # docs cease to exist for θ bootstrap, bounds, and match counts
+            dead_q = dead_arr
+            neg_terms = [t for t, e in packed.items() if e[0] == 0.0]
+            if neg_terms:
+                nd = []
+                for t in neg_terms:
+                    blocks = packed.pop(t)[4]
+                    if blocks:
+                        d0, _, _ = decode_blocks_batch(
+                            [blk[0] for blk in blocks],
+                            [blk[1] for blk in blocks],
+                            [blk[2] for blk in blocks],
+                            [blk[3] for blk in blocks],
+                        )
+                        nd.append(d0)
+                extra = (
+                    np.unique(np.concatenate(nd))
+                    if nd
+                    else np.empty(0, dtype=np.int64)
+                )
+                dead_q = _UnionDead(dead_arr, extra)
             if mode == "conjunctive":
                 m_req = (
                     msm_of.get(q, 0)
@@ -1008,7 +1094,7 @@ def wand_topk(
                     else -int(min_should_match)
                 )
                 rows.extend(
-                    _conjunctive_query(q, packed, kk, m_req, dead_arr)
+                    _conjunctive_query(q, packed, kk, m_req, dead_q)
                 )
             elif mode == "daat":
                 rows.extend(_wand_query(q, packed, kk))
@@ -1018,7 +1104,7 @@ def wand_topk(
                     "pruned": _pruned_query,
                     "exact": _exact_query,
                 }[mode]
-                rows.extend(fn(q, packed, kk, dead_arr))
+                rows.extend(fn(q, packed, kk, dead_q))
         if rows:
             cols = list(zip(*rows))
             yield pa.RecordBatch.from_arrays(

@@ -167,3 +167,58 @@ def test_spell_suggest(spark, index):
     s2 = [g[1] for g in got if g[0] == "s2"]
     assert "beta" not in s2  # exact term excluded
     assert "delta" not in s2  # 2 edits > max_edits=1
+
+
+def test_wand_must_not_matches_dataframe(spark, index, docs):
+    """MUST_NOT on the segment path (w=0 streams → per-query drop set)
+    must match the DataFrame engine in both layouts, compose with
+    min_should_match, and obey MUST_NOT precedence for a term that is
+    both scored and prohibited."""
+    from flagembedding_spark.operators.segments import (
+        build_doc_partitioned_segments,
+        build_segments,
+        merge_segments,
+    )
+    from flagembedding_spark.operators.wand import wand_topk
+
+    seg = merge_segments(build_segments(index))
+    dseg = build_doc_partitioned_segments(index, n_parts=3)
+    qdf = spark.createDataFrame(
+        [("q1", "alpha delta"), ("q2", "beta gamma")],
+        ["query_id", "query"],
+    )
+    nt = spark.createDataFrame([("q1", "table"), ("q2", "epsilon")],
+                               ["qid", "term"])
+
+    def rows(df):
+        return sorted(
+            (r["qid"], int(r["docid"]), round(float(r["score"]), 6),
+             int(r["rank"]))
+            for r in df.collect()
+        )
+
+    want = rows(bm25_topk(index, qdf, k=5, must_not=nt))
+    assert want  # non-vacuous
+    got = rows(wand_topk(seg, qdf, k=5, must_not=nt))
+    assert got == want
+    got_doc = rows(wand_topk(dseg, qdf, k=5, must_not=nt))
+    assert got_doc == want
+    # compose with min_should_match (conjunctive kernel must not count
+    # the w=0 marker streams as matches)
+    want_m = rows(bm25_topk(index, qdf, k=5, must_not=nt,
+                            min_should_match=2))
+    got_m = rows(wand_topk(seg, qdf, k=5, must_not=nt, min_should_match=2))
+    assert got_m == want_m
+    # MUST_NOT precedence: 'alpha' both scored and prohibited → only docs
+    # without alpha can appear, scored by delta alone
+    nt2 = spark.createDataFrame([("q1", "alpha")], ["qid", "term"])
+    want_p = rows(bm25_topk(index, qdf.filter("query_id='q1'"), k=5,
+                            must_not=nt2))
+    got_p = rows(wand_topk(seg, qdf.filter("query_id='q1'"), k=5,
+                           must_not=nt2))
+    assert got_p == want_p
+    assert all(d in (2, 4) for _, d, _, _ in got_p)  # alpha docs 0,1,3 gone
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="two_phase"):
+        wand_topk(seg, qdf, k=5, two_phase=True, must_not=nt)
