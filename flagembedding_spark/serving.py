@@ -223,13 +223,20 @@ class SegmentReader:
         }
 
     def topk(self, query: str, k: int = 10, mode: str = "auto",
-             min_should_match: int | str = 0):
+             min_should_match: int | str = 0,
+             must_not: list[str] | None = None):
         """→ [(docid, score, rank)] — BM25 top-k, rank-identical to
         wand_topk (score DESC, docid ASC ties). ``mode`` ∈ auto/pruned/exact
         with the same semantics as wand_topk's kernels (shared code).
         ``min_should_match``: the same Boolean semantics as the batch
-        engines (int n / 'all'; conjunctive exact kernel)."""
+        engines (int n / 'all'; conjunctive exact kernel).
+        ``must_not``: prohibited terms (Lucene MUST_NOT, same contract as
+        wand_topk): their postings decode into the drop set before
+        scoring; a term both scored and prohibited scores nothing."""
         qtf = Counter(query.split(" "))
+        neg_set = set(must_not or [])
+        for t in neg_set:
+            qtf.pop(t, None)  # MUST_NOT precedence
         info = self.lookup_terms(list(qtf))
         if not info:
             return []
@@ -238,6 +245,31 @@ class SegmentReader:
             {t: qtf[t] * info[t][0] * (self.k1 + 1.0) for t in info}, buckets
         )
         dead0 = self.tombstones if self.tombstones.size else None
+        if neg_set:
+            from flagembedding_spark.operators.wand import _UnionDead
+
+            neg_info = self.lookup_terms(sorted(neg_set))
+            extra = np.empty(0, dtype=np.int64)
+            if neg_info:
+                neg_packed = self._fetch_packed(
+                    {t: 0.0 for t in neg_info},
+                    sorted({b for _, b in neg_info.values()}),
+                )
+                parts = []
+                for _, _, _, _, blocks in neg_packed.values():
+                    if blocks:
+                        d0, _, _ = decode_blocks_batch(
+                            [blk[0] for blk in blocks],
+                            [blk[1] for blk in blocks],
+                            [blk[2] for blk in blocks],
+                            [blk[3] for blk in blocks],
+                        )
+                        parts.append(d0)
+                if parts:
+                    extra = np.unique(np.concatenate(parts))
+            dead0 = _UnionDead(dead0, extra) if (
+                extra.size or dead0 is not None
+            ) else None
         if min_should_match:
             from flagembedding_spark.operators.wand import _conjunctive_query
 
@@ -257,10 +289,10 @@ class SegmentReader:
         # query's decode volume is multi-second (≳16M postings), where
         # per-job overhead is trivially amortized.
         big = sum(len(e[4]) for e in packed.values()) >= 131_072
-        # tombstones are masked in-kernel right after decode (wand._mask_dead
-        # — same contract as wand_topk): θ/bounds reflect survivors, no
-        # over-fetch
-        dead = self.tombstones if self.tombstones.size else None
+        # tombstones (+ any MUST_NOT drop set) are masked in-kernel right
+        # after decode (wand._mask_dead — same contract as wand_topk):
+        # θ/bounds reflect survivors, no over-fetch
+        dead = dead0
         if self._pool is not None and big and mode in ("auto", "exact"):
             # same per-query pick as wand._auto_query (UB spread), but the
             # exact branch — the head-query hot path — goes multi-threaded

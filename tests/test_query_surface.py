@@ -222,3 +222,42 @@ def test_wand_must_not_matches_dataframe(spark, index, docs):
 
     with _pt.raises(ValueError, match="two_phase"):
         wand_topk(seg, qdf, k=5, two_phase=True, must_not=nt)
+
+
+def test_serving_must_not_matches_wand(spark, index, tmp_path):
+    from flagembedding_spark.operators.segments import (
+        build_segments,
+        merge_segments,
+        save_segments,
+    )
+    from flagembedding_spark.operators.wand import wand_topk
+    from flagembedding_spark.serving import SegmentReader
+
+    seg = merge_segments(build_segments(index))
+    root = str(tmp_path / "store")
+    save_segments(seg, root)
+    rd = SegmentReader(root, n_threads=1)
+    qdf = spark.createDataFrame([("q1", "alpha delta")],
+                                ["query_id", "query"])
+    nt = spark.createDataFrame([("q1", "table")], ["qid", "term"])
+    want = sorted(
+        (int(r["docid"]), round(float(r["score"]), 6), int(r["rank"]))
+        for r in wand_topk(seg, qdf, k=5, must_not=nt).collect()
+    )
+    assert want
+    got = sorted(
+        (d, round(s, 6), r)
+        for d, s, r in rd.topk("alpha delta", k=5, must_not=["table"])
+    )
+    assert got == want
+    # MUST_NOT precedence + msm composition
+    got_p = rd.topk("alpha delta", k=5, must_not=["alpha"])
+    assert all(d in (2, 4) for d, _, _ in got_p)
+    got_m = rd.topk("alpha delta", k=5, must_not=["table"],
+                    min_should_match=2)
+    want_m = sorted(
+        (int(r["docid"]), round(float(r["score"]), 6), int(r["rank"]))
+        for r in wand_topk(seg, qdf, k=5, must_not=nt,
+                           min_should_match=2).collect()
+    )
+    assert sorted((d, round(s, 6), r) for d, s, r in got_m) == want_m
