@@ -971,7 +971,11 @@ def wand_topk(
             arr = np.unique(np.asarray(
                 exclude_docids if isinstance(exclude_docids, np.ndarray)
                 else list(exclude_docids), dtype=np.int64))
-            if arr.size > 4096:
+            # bitmap beats np.isin well below the container cutover: isin
+            # re-sorts dead∪decoded on EVERY block stream, the bitmap is
+            # one searchsorted over container keys (10M probe: 1M-bitmap
+            # leg outran the 1k-isin leg). Keep raw arrays only when tiny.
+            if arr.size > 64:
                 dead_arr = DocidBitmap.from_array(arr)
             elif arr.size:
                 dead_arr = arr
