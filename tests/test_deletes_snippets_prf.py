@@ -106,6 +106,12 @@ def test_wand_deletes_match_dataframe(index, queries):
     assert want  # non-vacuous
     got = _rows(wand_topk(seg, queries, k=10, exclude_docids=dead))
     assert got == want
+    # mid-sized set (> the 64-element bitmap cutover): auto-converts to a
+    # DocidBitmap in-kernel, must stay identical to the DataFrame path
+    dead_mid = list(range(0, 300, 2))
+    want_mid = _rows(bm25_topk(index, queries, k=10, exclude_docids=dead_mid))
+    got_mid = _rows(wand_topk(seg, queries, k=10, exclude_docids=dead_mid))
+    assert want_mid and got_mid == want_mid
 
 
 def test_docid_bitmap_matches_isin_reference():
