@@ -3576,3 +3576,40 @@ def q_bm25_topk_must_not_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIPELINE_ENTRIES["bm25_topk_must_not_wand"] = q_bm25_topk_must_not_wand
 PIPELINE_ORACLE_SQL["bm25_topk_must_not_wand"] = _must_not_oracle()
+
+
+def q_bm25_topk_boosted_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term^boost on the SEGMENT path: the boost scales the stream weight
+    w, from which every kernel bound (block-max UB, θ, essential split)
+    derives — pruning stays score-safe. Shares _boosted_oracle with the
+    DataFrame path."""
+    from pyspark.sql.window import Window as _W
+
+    from flagembedding_spark.operators.query import boosted_query_terms
+    from flagembedding_spark.operators.segments import (
+        build_segments,
+        merge_segments,
+    )
+    from flagembedding_spark.operators.wand import wand_topk
+
+    idx = build_doc_index(spark, sf_dir)
+    seg = merge_segments(build_segments(idx))
+    qdf = spark.createDataFrame(BOOST_QUERY_SET, ["query_id", "query"])
+    qterms, boosts = boosted_query_terms(qdf)
+    raw = wand_topk(
+        seg, qdf, k=TOPK + 50, use_wand=True,
+        qterms=qterms.join(boosts, ["qid", "term"]),
+    )
+    w = _W.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 4)), F.asc("docid")
+    )
+    return (
+        raw.withColumn("score", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "docid", "score", "rank")
+    )
+
+
+PIPELINE_ENTRIES["bm25_topk_boosted_wand"] = q_bm25_topk_boosted_wand
+PIPELINE_ORACLE_SQL["bm25_topk_boosted_wand"] = _boosted_oracle()

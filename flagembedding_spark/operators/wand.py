@@ -744,12 +744,28 @@ def candidate_block_plan(
 
     # ``qterms`` overrides tokenization with a precomputed (qid, term, qtf)
     # set — the hook that runs multi-term EXPANSIONS (prefix / fuzzy /
-    # wildcard / MLT term selections) on this scale path
+    # wildcard / MLT term selections) on this scale path. An optional
+    # ``boost`` column (Lucene term^boost — query.boosted_query_terms)
+    # scales that term's stream weight w; every kernel bound (block-max
+    # UBs, θ, essential split) is computed FROM w, so boosted pruning
+    # stays score-safe with no kernel changes.
+    has_boost = qterms is not None and "boost" in qterms.columns
     qt = (
-        qterms.select("qid", "term", "qtf")
+        qterms.select(
+            "qid", "term", "qtf", *(["boost"] if has_boost else [])
+        )
         if qterms is not None
         else query_terms(queries, qid_col, query_col)
     )
+    if has_boost:
+        # boost contract on this path: strictly positive (w == 0.0 is the
+        # MUST_NOT marker, and the kernels' upper bounds assume w > 0).
+        # A zero boost means "term contributes nothing" — dropping the
+        # stream IS that semantics; negative boosts are rejected by the
+        # parser and unsupported here.
+        qt = qt.filter(
+            (F.col("qtf") == 0) | (F.coalesce(F.col("boost"), F.lit(1.0)) != 0)
+        )
 
     # the query's term set is tiny and known up front — push it as a literal
     # IN() into the block scan (parquet row-group + dictionary-page skipping)
@@ -762,14 +778,18 @@ def candidate_block_plan(
     if two_phase == "auto":
         rows = (
             seg.dictionary.join(F.broadcast(qt), "term")
-            .select("qid", "term", "qtf", "idf", "df")
+            .select(
+                "qid", "term", "qtf", "idf", "df",
+                *(["boost"] if has_boost else []),
+            )
             .collect()
         )
         qt_stats = [
             (
                 r["qid"],
                 r["term"],
-                float(r["qtf"]) * float(r["idf"]) * (k1 + 1.0),
+                float(r["qtf"]) * float(r["idf"]) * (k1 + 1.0)
+                * (float(r["boost"] or 1.0) if has_boost else 1.0),
                 int(r["df"]),
             )
             for r in rows
@@ -799,11 +819,12 @@ def candidate_block_plan(
             blocks = blocks.filter(F.col("bucket").isin(buckets))
 
     qt_idf = seg.dictionary.join(F.broadcast(qt), "term").select(
-        "qid", "term", "qtf", "idf"
+        "qid", "term", "qtf", "idf", *(["boost"] if has_boost else [])
     )
-    cand = blocks.join(F.broadcast(qt_idf), "term").withColumn(
-        "w", F.col("qtf") * F.col("idf") * F.lit(k1 + 1.0)
-    )
+    w_expr = F.col("qtf") * F.col("idf") * F.lit(k1 + 1.0)
+    if has_boost:
+        w_expr = w_expr * F.coalesce(F.col("boost"), F.lit(1.0))
+    cand = blocks.join(F.broadcast(qt_idf), "term").withColumn("w", w_expr)
     n_part = num_partitions or min(
         max(spark.sparkContext.defaultParallelism, 4), 64
     )
@@ -914,18 +935,24 @@ def wand_topk(
         # subtraction, task-local in both layouts (term layout: all of a
         # query's streams share its task; doc layout: a doc's postings for
         # every term share its bucket).
+        _hb = qterms is not None and "boost" in qterms.columns
         qt_base = (
-            qterms.select("qid", "term", "qtf")
+            qterms.select(
+                "qid", "term", "qtf", *(["boost"] if _hb else [])
+            )
             if qterms is not None
             else query_terms(queries, qid_col, query_col)
         )
         neg_qt = must_not.select("qid", "term").distinct()
+        neg_rows = neg_qt.withColumn("qtf", F.lit(0).cast("long"))
+        if _hb:
+            neg_rows = neg_rows.withColumn("boost", F.lit(1.0))
         # MUST_NOT precedence (Lucene): a term both scored and prohibited
         # scores no doc — every doc containing it is excluded — so its
         # positive row is dropped rather than letting the (qid, term)
         # streams collide in the kernel's per-term packing
         qterms = qt_base.join(neg_qt, ["qid", "term"], "left_anti").unionByName(
-            neg_qt.withColumn("qtf", F.lit(0).cast("long"))
+            neg_rows
         )
     if two_phase and (
         exclude_docids is not None

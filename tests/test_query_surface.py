@@ -261,3 +261,51 @@ def test_serving_must_not_matches_wand(spark, index, tmp_path):
                            min_should_match=2).collect()
     )
     assert sorted((d, round(s, 6), r) for d, s, r in got_m) == want_m
+
+
+def test_wand_boosts_match_dataframe(spark, index):
+    """Boosted qterms on the segment path (w scaled by boost; all kernel
+    bounds derive from w, so pruning stays safe) must match the DataFrame
+    engine in every mode; zero-boost streams drop without being mistaken
+    for MUST_NOT markers."""
+    from flagembedding_spark.operators.segments import (
+        build_segments,
+        merge_segments,
+    )
+    from flagembedding_spark.operators.wand import wand_topk
+
+    seg = merge_segments(build_segments(index))
+    qdf = spark.createDataFrame(
+        [("q1", "alpha^3 delta"), ("q2", "beta gamma^0.25")],
+        ["query_id", "query"],
+    )
+    qterms, boosts = boosted_query_terms(qdf)
+    qt_boosted = qterms.join(boosts, ["qid", "term"])
+
+    def rows(df):
+        return sorted(
+            (r["qid"], int(r["docid"]), round(float(r["score"]), 6),
+             int(r["rank"]))
+            for r in df.collect()
+        )
+
+    want = rows(bm25_topk(index, qdf, k=5, qterms=qterms, boosts=boosts))
+    assert want
+    for mode in ("auto", "exact", "pruned"):
+        got = rows(wand_topk(seg, qdf, k=5, qterms=qt_boosted,
+                             use_wand=mode))
+        assert got == want, mode
+    # zero boost == term absent (not a MUST_NOT marker)
+    qz = spark.createDataFrame([("q1", "alpha^0 delta")],
+                               ["query_id", "query"])
+    qt0, b0 = boosted_query_terms(qz)
+    got0 = rows(wand_topk(seg, qz, k=5, qterms=qt0.join(b0, ["qid", "term"])))
+    plain = spark.createDataFrame([("q1", "delta")], ["query_id", "query"])
+    assert got0 == rows(wand_topk(seg, plain, k=5))
+    # boost composes with must_not on the segment path
+    nt = spark.createDataFrame([("q1", "table")], ["qid", "term"])
+    want_n = rows(bm25_topk(index, qdf.filter("query_id='q1'"), k=5,
+                            qterms=qterms, boosts=boosts, must_not=nt))
+    got_n = rows(wand_topk(seg, qdf.filter("query_id='q1'"), k=5,
+                           qterms=qt_boosted, must_not=nt))
+    assert got_n == want_n
