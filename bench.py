@@ -346,7 +346,12 @@ def main() -> None:
     scaling = None
     if do_scaling:
         scaling_docs = int(os.environ.get("FES_SCALING_DOCS", "400000"))
-        scaling_reps = int(os.environ.get("FES_SCALING_REPS", "4"))
+        # 5 interleaved reps (was 4): per-side minima need at least one
+        # clean leg on EACH side; the round-5 full run drew 45 s of steal
+        # on three consecutive local8 legs before the window cleared —
+        # one more rep materially raises the odds without moving the
+        # (frozen) best-leg estimator
+        scaling_reps = int(os.environ.get("FES_SCALING_REPS", "5"))
         scaling = scaling_run(scaling_docs, pairs=(2, 8), reps=scaling_reps)
         timings["scaling_local2_build"] = scaling["local2"]["build_sec"]
         timings["scaling_local8_build"] = scaling["local8"]["build_sec"]
@@ -553,6 +558,11 @@ def main() -> None:
     )
     seg_tp = merge_segments(build_segments(idx_tp))
     seg_tp.blocks = seg_tp.blocks.cache()
+    # the deployment posture keeps the term dictionary hot (entries.py
+    # memoizes it cached); without this, two_phase='auto''s stats collect
+    # re-scans it cold every rep and the trio mis-measures the heuristic
+    seg_tp.dictionary = seg_tp.dictionary.cache()
+    seg_tp.dictionary.count()
     seg_tp.blocks.count()
     qs_tp = spark.createDataFrame(
         [("tp0", "rare_x " + stop_mix), ("tp1", "rare_x if for class")],
