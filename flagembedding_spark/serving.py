@@ -224,7 +224,8 @@ class SegmentReader:
 
     def topk(self, query: str, k: int = 10, mode: str = "auto",
              min_should_match: int | str = 0,
-             must_not: list[str] | None = None):
+             must_not: list[str] | None = None,
+             include_docids=None):
         """→ [(docid, score, rank)] — BM25 top-k, rank-identical to
         wand_topk (score DESC, docid ASC ties). ``mode`` ∈ auto/pruned/exact
         with the same semantics as wand_topk's kernels (shared code).
@@ -232,7 +233,10 @@ class SegmentReader:
         engines (int n / 'all'; conjunctive exact kernel).
         ``must_not``: prohibited terms (Lucene MUST_NOT, same contract as
         wand_topk): their postings decode into the drop set before
-        scoring; a term both scored and prohibited scores nothing."""
+        scoring; a term both scored and prohibited scores nothing.
+        ``include_docids``: filter clause (wand_topk contract) — a
+        DocidBitmap or iterable restricting candidates; scores keep
+        global stats, θ/bounds reflect only admissible docs."""
         qtf = Counter(query.split(" "))
         neg_set = set(must_not or [])
         for t in neg_set:
@@ -245,6 +249,22 @@ class SegmentReader:
             {t: qtf[t] * info[t][0] * (self.k1 + 1.0) for t in info}, buckets
         )
         dead0 = self.tombstones if self.tombstones.size else None
+        if include_docids is not None:
+            from flagembedding_spark.operators.deletes import (
+                DocidBitmap,
+                DocidMask,
+            )
+
+            inc = (
+                include_docids
+                if isinstance(include_docids, DocidBitmap)
+                else DocidBitmap.from_array(
+                    np.asarray(list(include_docids), dtype=np.int64)
+                    if not isinstance(include_docids, np.ndarray)
+                    else include_docids
+                )
+            )
+            dead0 = DocidMask(exclude=dead0, include=inc)
         if neg_set:
             from flagembedding_spark.operators.wand import _UnionDead
 

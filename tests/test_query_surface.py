@@ -309,3 +309,37 @@ def test_wand_boosts_match_dataframe(spark, index):
     got_n = rows(wand_topk(seg, qdf.filter("query_id='q1'"), k=5,
                            qterms=qt_boosted, must_not=nt))
     assert got_n == want_n
+
+
+def test_serving_include_filter_matches_wand(spark, index, tmp_path):
+    from flagembedding_spark.operators.segments import (
+        build_segments,
+        merge_segments,
+        save_segments,
+    )
+    from flagembedding_spark.operators.wand import wand_topk
+    from flagembedding_spark.serving import SegmentReader
+
+    seg = merge_segments(build_segments(index))
+    root = str(tmp_path / "store")
+    save_segments(seg, root)
+    rd = SegmentReader(root, n_threads=1)
+    qdf = spark.createDataFrame([("q1", "alpha delta")],
+                                ["query_id", "query"])
+    keep = [0, 2, 4]
+    keep_df = spark.createDataFrame([(d,) for d in keep], ["docid"])
+    want = sorted(
+        (int(r["docid"]), round(float(r["score"]), 6), int(r["rank"]))
+        for r in wand_topk(seg, qdf, k=5, include_docids=keep_df).collect()
+    )
+    assert want
+    got = sorted(
+        (d, round(s, 6), r)
+        for d, s, r in rd.topk("alpha delta", k=5, include_docids=keep)
+    )
+    assert got == want
+    assert all(d in keep for d, _, _ in got)
+    # composes with must_not: include {0,2,4} minus docs containing gamma
+    got2 = rd.topk("alpha delta", k=5, include_docids=keep,
+                   must_not=["gamma"])
+    assert all(d == 2 for d, _, _ in got2)  # doc0,4 contain gamma
