@@ -76,7 +76,7 @@ def main() -> None:
     spark = get_spark("fes-scale-probe", shuffle_partitions=64)
     cfg = BM25Config(k1=K1, b=B, block_size=128, salt_threshold_df=1000,
                      max_salt=8, term_buckets=64)
-    base = tempfile.mkdtemp(prefix="fes_probe_", dir="/root")
+    base = tempfile.mkdtemp(prefix="fes_probe_")  # system tmp (same disk)
     term_root = f"{base}/term_store"
     try:
         corpus = distributed_synth_corpus_skewed(spark, n_docs, partitions=128)
