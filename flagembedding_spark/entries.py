@@ -184,15 +184,7 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     # straddling the k-boundary — test_wand_rounded_boundary_margin asserts
     # the fixture's widest boundary tie group stays far below this.
     raw = wand_topk(seg, _queries_df(spark), k=TOPK + 50, use_wand=True)
-    w = Window.partitionBy("qid").orderBy(
-        F.desc(F.round("score", 4)), F.asc("docid")
-    )
-    return (
-        raw.withColumn("score", F.round("score", 4))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
-        .select("qid", "docid", "score", "rank")
-    )
+    return rerank_rounded(raw)
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,3 +332,25 @@ WITH {_qterm_ctes().strip()}
 SELECT qid, term, qtf FROM qterms
 """,
 }
+
+
+def rerank_rounded(raw, k: int = TOPK, decimals: int = 4):
+    """Shared postlude for every segment-path entry: re-rank ``raw``
+    (qid, docid, score, ...) on the ROUNDED score so boundary order
+    matches the oracle's round-before-rank contract. Callers fetch
+    k + margin (50) rows first; the re-ranking is only wrong if > margin
+    docs round into one tie straddling the k boundary —
+    test_wand_rounded_boundary_margin asserts the fixture's widest
+    boundary tie group stays far below it."""
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("qid").orderBy(
+        F.desc(F.round("score", decimals)), F.asc("docid")
+    )
+    return (
+        raw.withColumn("score", F.round("score", decimals))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "docid", "score", "rank")
+    )
+

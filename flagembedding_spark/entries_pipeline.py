@@ -1578,8 +1578,7 @@ def q_bm25_topk_wand_docpart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship via the DOCID-PARTITIONED layout (hot-query parallel form):
     must be rank-identical to the DataFrame path and the term-bucketed
     segment path — same oracle SQL as bm25_topk."""
-    from pyspark.sql.window import Window
-
+    from flagembedding_spark.entries import rerank_rounded
     from flagembedding_spark.operators.segments import (
         build_doc_partitioned_segments,
     )
@@ -1588,15 +1587,7 @@ def q_bm25_topk_wand_docpart(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = build_doc_index(spark, sf_dir)
     dseg = build_doc_partitioned_segments(idx, n_parts=8)
     raw = wand_topk(dseg, _queries_df(spark), k=TOPK + 50, use_wand=True)
-    w = Window.partitionBy("qid").orderBy(
-        F.desc(F.round("score", 4)), F.asc("docid")
-    )
-    return (
-        raw.withColumn("score", F.round("score", 4))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
-        .select("qid", "docid", "score", "rank")
-    )
+    return rerank_rounded(raw)
 
 
 PIPELINE_ENTRIES["bm25_topk_wand_docpart"] = q_bm25_topk_wand_docpart
@@ -2265,7 +2256,6 @@ PIPELINE_ORACLE_SQL.update(
 # ---------------------------------------------------------------------------
 
 def q_bm25_topk_wand_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as _W
 
     from flagembedding_spark.entries import (
         B,
@@ -2288,15 +2278,9 @@ def q_bm25_topk_wand_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = wand_topk(
         seg, _queries_df(spark), k=TOPK + 50, use_wand=True, two_phase=True
     )
-    w = _W.partitionBy("qid").orderBy(
-        F.desc(F.round("score", 4)), F.asc("docid")
-    )
-    return (
-        raw.withColumn("score", F.round("score", 4))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
-        .select("qid", "docid", "score", "rank")
-    )
+    from flagembedding_spark.entries import rerank_rounded
+
+    return rerank_rounded(raw)
 
 
 def _twophase_oracle() -> str:
@@ -3200,7 +3184,6 @@ PIPELINE_ORACLE_SQL["bm25_search_after"] = _search_after_oracle()
 # ---------------------------------------------------------------------------
 
 def q_bm25_topk_filtered_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as _W
 
     from flagembedding_spark.operators.segments import (
         build_segments,
@@ -3217,15 +3200,9 @@ def q_bm25_topk_filtered_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg, _queries_df(spark), k=TOPK + 50, use_wand=True,
         include_docids=keep,
     )
-    w = _W.partitionBy("qid").orderBy(
-        F.desc(F.round("score", 4)), F.asc("docid")
-    )
-    return (
-        raw.withColumn("score", F.round("score", 4))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
-        .select("qid", "docid", "score", "rank")
-    )
+    from flagembedding_spark.entries import rerank_rounded
+
+    return rerank_rounded(raw)
 
 
 PIPELINE_ENTRIES["bm25_topk_filtered_wand"] = q_bm25_topk_filtered_wand
@@ -3495,6 +3472,10 @@ SUGGEST_SET = [
     ("sg2", "ordr"),     # → order / a / ...
     ("sg3", "filtre"),   # → filter
     ("sg4", "tabel"),    # → table
+    # one qid with TWO misspelled terms: exercises the per-term window
+    # (suggestions must not compete across a query's terms)
+    ("sg5", "scann"),
+    ("sg5", "tabel"),
 ]
 SUGGEST_EDITS, SUGGEST_N = 2, 5
 
@@ -3520,19 +3501,19 @@ def _suggest_oracle() -> str:
 WITH {_BASE_CTES.strip()},
 miss(qid, qterm) AS (VALUES {rows}),
 cand AS (
-  SELECT m.qid, d.term AS suggestion, d.df
+  SELECT m.qid, m.qterm, d.term AS suggestion, d.df
   FROM df d JOIN miss m
     ON abs(length(d.term) - length(m.qterm)) <= {SUGGEST_EDITS}
    AND d.term <> m.qterm
    AND levenshtein(d.term, m.qterm) <= {SUGGEST_EDITS}
 ),
 ranked AS (
-  SELECT qid, suggestion, df,
-         CAST(row_number() OVER (PARTITION BY qid
+  SELECT qid, qterm, suggestion, df,
+         CAST(row_number() OVER (PARTITION BY qid, qterm
                 ORDER BY df DESC, suggestion ASC) AS INT) AS rank
   FROM cand
 )
-SELECT qid, suggestion, df, rank FROM ranked WHERE rank <= {SUGGEST_N}
+SELECT qid, qterm, suggestion, df, rank FROM ranked WHERE rank <= {SUGGEST_N}
 ORDER BY qid, rank
 """
 
@@ -3546,7 +3527,6 @@ def q_bm25_topk_must_not_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged w=0 and are decoded into a per-query drop set in-kernel before
     scoring (wand.py must_not). Shares _must_not_oracle with the DataFrame
     path — both engines and the SQL oracle must agree exactly."""
-    from pyspark.sql.window import Window as _W
 
     from flagembedding_spark.operators.segments import (
         build_segments,
@@ -3563,15 +3543,9 @@ def q_bm25_topk_must_not_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = wand_topk(
         seg, _queries_df(spark), k=TOPK + 50, use_wand=True, must_not=nt,
     )
-    w = _W.partitionBy("qid").orderBy(
-        F.desc(F.round("score", 4)), F.asc("docid")
-    )
-    return (
-        raw.withColumn("score", F.round("score", 4))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
-        .select("qid", "docid", "score", "rank")
-    )
+    from flagembedding_spark.entries import rerank_rounded
+
+    return rerank_rounded(raw)
 
 
 PIPELINE_ENTRIES["bm25_topk_must_not_wand"] = q_bm25_topk_must_not_wand
@@ -3583,7 +3557,6 @@ def q_bm25_topk_boosted_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, from which every kernel bound (block-max UB, θ, essential split)
     derives — pruning stays score-safe. Shares _boosted_oracle with the
     DataFrame path."""
-    from pyspark.sql.window import Window as _W
 
     from flagembedding_spark.operators.query import boosted_query_terms
     from flagembedding_spark.operators.segments import (
@@ -3600,15 +3573,9 @@ def q_bm25_topk_boosted_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg, qdf, k=TOPK + 50, use_wand=True,
         qterms=qterms.join(boosts, ["qid", "term"]),
     )
-    w = _W.partitionBy("qid").orderBy(
-        F.desc(F.round("score", 4)), F.asc("docid")
-    )
-    return (
-        raw.withColumn("score", F.round("score", 4))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
-        .select("qid", "docid", "score", "rank")
-    )
+    from flagembedding_spark.entries import rerank_rounded
+
+    return rerank_rounded(raw)
 
 
 PIPELINE_ENTRIES["bm25_topk_boosted_wand"] = q_bm25_topk_boosted_wand

@@ -148,8 +148,13 @@ class DocidBitmap:
         return [int(x) for x in self.to_array()]
 
     def union(self, docids) -> "DocidBitmap":
-        extra = np.asarray(list(docids) if not isinstance(docids, np.ndarray)
-                           else docids, dtype=np.int64)
+        """Union with an iterable, ndarray, or another DocidBitmap."""
+        if isinstance(docids, DocidBitmap):
+            extra = docids.to_array()
+        elif isinstance(docids, np.ndarray):
+            extra = np.asarray(docids, dtype=np.int64)
+        else:
+            extra = np.asarray(list(docids), dtype=np.int64)
         if extra.size == 0:
             return self
         return DocidBitmap.from_array(

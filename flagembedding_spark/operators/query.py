@@ -168,13 +168,27 @@ def bm25_topk(
         if qterms is not None
         else query_terms(queries, qid_col, query_col)
     )
+    if must_not is not None:
+        # MUST_NOT precedence (Lucene, same rule as wand_topk): a term
+        # both scored and prohibited scores no doc — every doc containing
+        # it is excluded below — so its positive row is dropped here too.
+        # This keeps min_should_match's required count consistent across
+        # engines (the prohibited term is not a requirable match).
+        qt = qt.join(
+            F.broadcast(must_not.select("qid", "term").distinct()),
+            ["qid", "term"], "left_anti",
+        )
     if boosts is not None:
         # Lucene `term^boost`: scale a term's contribution (query-set-sized
-        # artifact — broadcast left join, unboosted terms default to 1.0)
+        # artifact — broadcast left join, unboosted terms default to 1.0).
+        # boost == 0 means the term is ABSENT (no zero-score candidates,
+        # not a requirable match) — the same rule the segment path applies
+        # by dropping w=0-boost streams.
         qt = qt.join(
             F.broadcast(boosts.select("qid", "term", "boost")),
             ["qid", "term"], "left",
         ).withColumn("boost", F.coalesce(F.col("boost"), F.lit(1.0)))
+        qt = qt.filter(F.col("boost") != 0)
     scored = (
         bm25_partial_scores(index, qt, k1, b)
         .groupBy("qid", "docid")

@@ -214,13 +214,15 @@ def spell_suggest(
     qid_col: str = "query_id",
     term_col: str = "qterm",
 ) -> DataFrame:
-    """→ (qid, suggestion, df, rank): spelling corrections per query term —
-    the Lucene DirectSpellChecker analog, ranked the way its default
-    comparator breaks ties after edit distance is windowed: higher-df
-    (more popular) terms first, then lexicographic. The exact input term
-    is EXCLUDED (a suggestion must differ); candidates come from the same
-    length-windowed Levenshtein dictionary scan as expand_fuzzy
-    (dictionary-sized, broadcast query side, no postings touched)."""
+    """→ (qid, qterm, suggestion, df, rank): spelling corrections PER
+    query term — the Lucene DirectSpellChecker analog (it suggests per
+    term, so a query with several misspellings gets its own top-n for
+    each), ranked the way its default comparator breaks ties after edit
+    distance is windowed: higher-df (more popular) terms first, then
+    lexicographic. The exact input term is EXCLUDED (a suggestion must
+    differ); candidates come from the same length-windowed Levenshtein
+    dictionary scan as expand_fuzzy (dictionary-sized, broadcast query
+    side, no postings touched)."""
     q = terms.select(
         F.col(qid_col).alias("qid"), F.col(term_col).alias("qterm")
     )
@@ -233,9 +235,12 @@ def spell_suggest(
         & (F.col("term") != F.col("qterm"))
         & (F.levenshtein("term", "qterm") <= F.lit(max_edits)),
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("df"), F.asc("term"))
+    w = Window.partitionBy("qid", "qterm").orderBy(
+        F.desc("df"), F.asc("term")
+    )
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= n_suggest)
-        .select("qid", F.col("term").alias("suggestion"), "df", "rank")
+        .select("qid", "qterm", F.col("term").alias("suggestion"), "df",
+                "rank")
     )

@@ -265,6 +265,24 @@ class _UnionDead:
         return drop
 
 
+def _neg_drop_set(neg_block_lists, base) -> "_UnionDead":
+    """Decode MUST_NOT streams' blocks into a per-query drop set unioned
+    with ``base`` (tombstones / filter mask / None). Shared by
+    wand_topk's kernel dispatch and the serving reader."""
+    nd = []
+    for blocks in neg_block_lists:
+        if blocks:
+            d0, _, _ = decode_blocks_batch(
+                [blk[0] for blk in blocks], [blk[1] for blk in blocks],
+                [blk[2] for blk in blocks], [blk[3] for blk in blocks],
+            )
+            nd.append(d0)
+    extra = (
+        np.unique(np.concatenate(nd)) if nd else np.empty(0, dtype=np.int64)
+    )
+    return _UnionDead(base, extra)
+
+
 def _mask_dead(d: np.ndarray, s: np.ndarray, dead):
     """Drop tombstoned docids from a decoded (docid, score) stream. Applied
     IMMEDIATELY after decode in every kernel so deleted docs cease to exist
@@ -1024,6 +1042,17 @@ def wand_topk(
                 include_docids if isinstance(include_docids, np.ndarray)
                 else list(include_docids), dtype=np.int64))
         dead_arr = DocidMask(exclude=dead_arr, include=inc)
+    # ship big masks via an EXPLICIT broadcast: a closure-captured bitmap
+    # serializes into every task's binary (n_part redundant copies of a
+    # potentially tens-of-MB include set); TorrentBroadcast ships it once
+    # per executor. Tiny arrays stay in the closure — cheaper than the
+    # broadcast round-trip.
+    dead_bc = None
+    if dead_arr is not None and not (
+        isinstance(dead_arr, np.ndarray) and dead_arr.size <= 4096
+    ):
+        dead_bc = spark.sparkContext.broadcast(dead_arr)
+        dead_arr = None
     kk = k
     if use_wand is True:
         mode = "auto"
@@ -1038,12 +1067,18 @@ def wand_topk(
         # required = the query's DISTINCT term count incl. OOV terms
         # (an OOV term makes the equality unsatisfiable → empty, as
         # Lucene AND); query-set-sized collect
-        _qt_for_m = (
-            # qtf=0 rows are MUST_NOT markers, never required matches
-            qterms.filter(F.col("qtf") > 0).select("qid", "term")
-            if qterms is not None
-            else query_terms(queries, qid_col, query_col)
-        )
+        if qterms is not None:
+            # qtf=0 rows are MUST_NOT markers and boost=0 terms are
+            # defined ABSENT (query.py applies the same rule) — neither
+            # is a requirable match
+            _qt_for_m = qterms.filter(F.col("qtf") > 0)
+            if "boost" in qterms.columns:
+                _qt_for_m = _qt_for_m.filter(
+                    F.coalesce(F.col("boost"), F.lit(1.0)) != 0
+                )
+            _qt_for_m = _qt_for_m.select("qid", "term")
+        else:
+            _qt_for_m = query_terms(queries, qid_col, query_col)
         msm_of = {
             r["qid"]: int(r["m"])
             for r in _qt_for_m.groupBy("qid")
@@ -1055,7 +1090,9 @@ def wand_topk(
         if int(min_should_match) < 0:
             raise ValueError("min_should_match must be >= 0 or 'all'")
         mode = "conjunctive"
-    if (dead_arr is not None or must_not is not None) and mode == "daat":
+    if (
+        dead_arr is not None or dead_bc is not None or must_not is not None
+    ) and mode == "daat":
         # the classic per-pivot cursor has no mask hook; the vectorized
         # pruned kernel is mask-aware and at least as fast
         mode = "pruned"
@@ -1065,6 +1102,9 @@ def wand_topk(
         raise ValueError("mode='daat' requires the term-bucketed layout")
 
     def score_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # resolve the mask once per task: broadcast value for big sets,
+        # closure-captured tiny array otherwise
+        base_dead = dead_bc.value if dead_bc is not None else dead_arr
         per_q: dict[str, dict] = {}
         for batch in batches:
             qids = batch.column("qid").to_pylist()
@@ -1098,26 +1138,12 @@ def wand_topk(
             # MUST_NOT streams (w == 0.0 — see the qtf=0 marker contract):
             # decode to a per-query drop set BEFORE scoring so prohibited
             # docs cease to exist for θ bootstrap, bounds, and match counts
-            dead_q = dead_arr
+            dead_q = base_dead
             neg_terms = [t for t, e in packed.items() if e[0] == 0.0]
             if neg_terms:
-                nd = []
-                for t in neg_terms:
-                    blocks = packed.pop(t)[4]
-                    if blocks:
-                        d0, _, _ = decode_blocks_batch(
-                            [blk[0] for blk in blocks],
-                            [blk[1] for blk in blocks],
-                            [blk[2] for blk in blocks],
-                            [blk[3] for blk in blocks],
-                        )
-                        nd.append(d0)
-                extra = (
-                    np.unique(np.concatenate(nd))
-                    if nd
-                    else np.empty(0, dtype=np.int64)
+                dead_q = _neg_drop_set(
+                    [packed.pop(t)[4] for t in neg_terms], base_dead
                 )
-                dead_q = _UnionDead(dead_arr, extra)
             if mode == "conjunctive":
                 m_req = (
                     msm_of.get(q, 0)

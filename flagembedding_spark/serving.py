@@ -266,30 +266,20 @@ class SegmentReader:
             )
             dead0 = DocidMask(exclude=dead0, include=inc)
         if neg_set:
-            from flagembedding_spark.operators.wand import _UnionDead
+            from flagembedding_spark.operators.wand import _neg_drop_set
 
             neg_info = self.lookup_terms(sorted(neg_set))
-            extra = np.empty(0, dtype=np.int64)
-            if neg_info:
-                neg_packed = self._fetch_packed(
+            neg_packed = (
+                self._fetch_packed(
                     {t: 0.0 for t in neg_info},
                     sorted({b for _, b in neg_info.values()}),
                 )
-                parts = []
-                for _, _, _, _, blocks in neg_packed.values():
-                    if blocks:
-                        d0, _, _ = decode_blocks_batch(
-                            [blk[0] for blk in blocks],
-                            [blk[1] for blk in blocks],
-                            [blk[2] for blk in blocks],
-                            [blk[3] for blk in blocks],
-                        )
-                        parts.append(d0)
-                if parts:
-                    extra = np.unique(np.concatenate(parts))
-            dead0 = _UnionDead(dead0, extra) if (
-                extra.size or dead0 is not None
-            ) else None
+                if neg_info
+                else {}
+            )
+            dead0 = _neg_drop_set(
+                [e[4] for e in neg_packed.values()], dead0
+            )
         if min_should_match:
             from flagembedding_spark.operators.wand import _conjunctive_query
 

@@ -156,17 +156,24 @@ def test_tfidf_classic_hand_computed(spark, index):
 def test_spell_suggest(spark, index):
     from flagembedding_spark.operators.termquery import spell_suggest
 
-    tdf = spark.createDataFrame([("s1", "alpa"), ("s2", "beta")],
-                                ["query_id", "qterm"])
+    tdf = spark.createDataFrame(
+        [("s1", "alpa"), ("s2", "beta"), ("s3", "alpa"), ("s3", "bta")],
+        ["query_id", "qterm"],
+    )
     got = [
-        (r["qid"], r["suggestion"], int(r["df"]), int(r["rank"]))
+        (r["qid"], r["qterm"], r["suggestion"], int(r["df"]), int(r["rank"]))
         for r in spell_suggest(index, tdf, max_edits=1, n_suggest=5).collect()
     ]
     s1 = [g for g in got if g[0] == "s1"]
-    assert [g[1] for g in s1] == ["alpha"]  # 1 edit
-    s2 = [g[1] for g in got if g[0] == "s2"]
+    assert [g[2] for g in s1] == ["alpha"]  # 1 edit
+    s2 = [g[2] for g in got if g[0] == "s2"]
     assert "beta" not in s2  # exact term excluded
     assert "delta" not in s2  # 2 edits > max_edits=1
+    # per-term windows: a multi-misspelling query ranks each term's
+    # suggestions independently (rank restarts at 1 per qterm)
+    s3 = {(g[1], g[2]): g[4] for g in got if g[0] == "s3"}
+    assert s3[("alpa", "alpha")] == 1
+    assert s3[("bta", "beta")] == 1
 
 
 def test_wand_must_not_matches_dataframe(spark, index, docs):
@@ -343,3 +350,93 @@ def test_serving_include_filter_matches_wand(spark, index, tmp_path):
     got2 = rd.topk("alpha delta", k=5, include_docids=keep,
                    must_not=["gamma"])
     assert all(d == 2 for d, _, _ in got2)  # doc0,4 contain gamma
+
+
+def test_must_not_precedence_msm_cross_engine(spark, index):
+    """Review r5: a term both scored and prohibited, combined with
+    min_should_match='all' — both engines must apply MUST_NOT precedence
+    BEFORE the required-count (the prohibited term is not requirable),
+    so survivors matching every remaining term are returned."""
+    from flagembedding_spark.operators.segments import (
+        build_segments,
+        merge_segments,
+    )
+    from flagembedding_spark.operators.wand import wand_topk
+
+    seg = merge_segments(build_segments(index))
+    qdf = spark.createDataFrame([("q1", "alpha delta")],
+                                ["query_id", "query"])
+    nt = spark.createDataFrame([("q1", "alpha")], ["qid", "term"])
+
+    def rows(df):
+        return sorted(
+            (r["qid"], int(r["docid"]), round(float(r["score"]), 6),
+             int(r["rank"]))
+            for r in df.collect()
+        )
+
+    want = rows(bm25_topk(index, qdf, k=5, must_not=nt,
+                          min_should_match="all"))
+    got = rows(wand_topk(seg, qdf, k=5, must_not=nt,
+                         min_should_match="all"))
+    # docs 2 ('beta delta epsilon') and 4 ('gamma delta table') contain
+    # delta and not alpha — both engines must return exactly those
+    assert {d for _, d, _, _ in want} == {2, 4}
+    assert got == want
+
+
+def test_zero_boost_msm_cross_engine(spark, index):
+    """Review r5: boost == 0 means the term is ABSENT on every engine —
+    no zero-score candidates, not a requirable match under
+    min_should_match='all'."""
+    from flagembedding_spark.operators.segments import (
+        build_segments,
+        merge_segments,
+    )
+    from flagembedding_spark.operators.wand import wand_topk
+
+    seg = merge_segments(build_segments(index))
+    qdf = spark.createDataFrame([("q1", "alpha^0 delta")],
+                                ["query_id", "query"])
+    qterms, boosts = boosted_query_terms(qdf)
+
+    def rows(df):
+        return sorted(
+            (r["qid"], int(r["docid"]), round(float(r["score"]), 6),
+             int(r["rank"]))
+            for r in df.collect()
+        )
+
+    # plain disjunctive: alpha-only docs must NOT appear as 0-score rows
+    df_plain = rows(bm25_topk(index, qdf, k=5, qterms=qterms, boosts=boosts))
+    wd_plain = rows(wand_topk(seg, qdf, k=5,
+                              qterms=qterms.join(boosts, ["qid", "term"])))
+    delta_docs = {1, 2, 4}
+    assert {d for _, d, _, _ in df_plain} == delta_docs
+    assert df_plain == wd_plain
+    # msm='all': required = {delta} only → all delta docs qualify
+    df_all = rows(bm25_topk(index, qdf, k=5, qterms=qterms, boosts=boosts,
+                            min_should_match="all"))
+    wd_all = rows(wand_topk(seg, qdf, k=5,
+                            qterms=qterms.join(boosts, ["qid", "term"]),
+                            min_should_match="all"))
+    assert {d for _, d, _, _ in df_all} == delta_docs
+    assert df_all == wd_all
+
+
+def test_docid_bitmap_union_accepts_bitmap(tmp_path):
+    from flagembedding_spark.operators.deletes import (
+        DocidBitmap,
+        load_tombstones,
+        write_tombstones,
+    )
+
+    a = DocidBitmap.from_array([1, 5, 9])
+    b = DocidBitmap.from_array([5, 7])
+    u = a.union(b)
+    assert u.tolist() == [1, 5, 7, 9]
+    root = str(tmp_path)
+    write_tombstones(root, [1, 2])
+    merged = write_tombstones(root, DocidBitmap.from_array([2, 3]))
+    assert merged.tolist() == [1, 2, 3]
+    assert load_tombstones(root).tolist() == [1, 2, 3]
