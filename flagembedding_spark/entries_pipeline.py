@@ -3580,3 +3580,44 @@ def q_bm25_topk_boosted_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIPELINE_ENTRIES["bm25_topk_boosted_wand"] = q_bm25_topk_boosted_wand
 PIPELINE_ORACLE_SQL["bm25_topk_boosted_wand"] = _boosted_oracle()
+
+
+# ---------------------------------------------------------------------------
+# hot-filter INDEX LAYOUT (operators/layout.py): the recurring-filter tier
+# of the filter story — a per-value sub-store with GLOBAL stats must be
+# rank- and score-identical to include_docids over the full store, so it
+# shares _filtered_oracle with both other tiers.
+# ---------------------------------------------------------------------------
+
+_LAYOUT_MEMO: dict = {}
+
+
+def q_bm25_topk_filtered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flagembedding_spark.entries import rerank_rounded
+    from flagembedding_spark.operators.layout import (
+        build_filter_partitioned_store,
+        load_filtered_store,
+    )
+    from flagembedding_spark.operators.wand import wand_topk
+
+    key = (id(spark), sf_dir)
+    root = _LAYOUT_MEMO.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="fes_lang_store_")
+        idx = build_doc_index(spark, sf_dir)
+        meta = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("docid"), "lang"
+        )
+        build_filter_partitioned_store(
+            idx, meta, "lang", root, values=[FILTER_LANG]
+        )
+        _LAYOUT_MEMO[key] = root
+    sub = load_filtered_store(spark, root, "lang", FILTER_LANG)
+    raw = wand_topk(sub, _queries_df(spark), k=TOPK + 50, use_wand=True)
+    return rerank_rounded(raw)
+
+
+PIPELINE_ENTRIES["bm25_topk_filtered_layout"] = q_bm25_topk_filtered_layout
+PIPELINE_ORACLE_SQL["bm25_topk_filtered_layout"] = _filtered_oracle()

@@ -440,3 +440,53 @@ def test_docid_bitmap_union_accepts_bitmap(tmp_path):
     merged = write_tombstones(root, DocidBitmap.from_array([2, 3]))
     assert merged.tolist() == [1, 2, 3]
     assert load_tombstones(root).tolist() == [1, 2, 3]
+
+
+def test_filter_layout_matches_include_docids(spark, index, docs, tmp_path):
+    """Tier-3 filter (materialized per-value sub-store, operators/layout)
+    must be rank- AND score-identical to tier-2 (in-kernel include mask
+    over the full store): global stats preserved, filter never rescores.
+    The serving reader on the sub-store inherits the filter for free."""
+    from flagembedding_spark.operators.layout import (
+        build_filter_partitioned_store,
+        load_filtered_store,
+    )
+    from flagembedding_spark.operators.segments import (
+        build_segments,
+        merge_segments,
+    )
+    from flagembedding_spark.operators.wand import wand_topk
+    from flagembedding_spark.serving import SegmentReader
+
+    root = str(tmp_path / "part_store")
+    meta = docs.select(F.col("doc_id").alias("docid"), "lang")
+    vals = build_filter_partitioned_store(index, meta, "lang", root)
+    assert set(vals) == {"py", "go", "rs"}
+    full = merge_segments(build_segments(index))
+    qdf = spark.createDataFrame([("q1", "alpha beta delta")],
+                                ["query_id", "query"])
+
+    def rows(df):
+        return sorted(
+            (r["qid"], int(r["docid"]), round(float(r["score"]), 6),
+             int(r["rank"]))
+            for r in df.collect()
+        )
+
+    for lang in ("py", "go"):
+        keep = docs.filter(F.col("lang") == lang).select(
+            F.col("doc_id").alias("docid")
+        )
+        want = rows(wand_topk(full, qdf, k=5, include_docids=keep))
+        assert want  # non-vacuous
+        sub = load_filtered_store(spark, root, "lang", lang)
+        assert sub.stats.n_docs == index.stats.n_docs  # GLOBAL stats
+        got = rows(wand_topk(sub, qdf, k=5))
+        assert got == want
+        # Spark-free reader on the sub-store: same implicit filter
+        rd = SegmentReader(f"{root}/lang={lang}", n_threads=1)
+        served = sorted(
+            ("q1", d, round(s, 6), r)
+            for d, s, r in rd.topk("alpha beta delta", k=5)
+        )
+        assert served == want
