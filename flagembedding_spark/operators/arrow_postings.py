@@ -23,15 +23,18 @@ rows against the offsets job's count and raises on any drift (and on rows in
 a partition the counting pass never saw), so a non-deterministic source or
 an AQE replan fails loudly instead of silently mis-assigning docids.
 
-Tokenization here is Python's ``str.split(" ")`` — *identical by definition*
-to the reference oracle's tokenizer (T1). Stop tokens are removed from tf/df
-but doc length counts unfiltered tokens (modeling_bm25.py:180).
+Tokenization is ``pyarrow.compute.split_pattern(content, " ")`` — verified
+identical to Python's ``str.split(" ")`` (the reference oracle's tokenizer,
+T1) on every edge case incl. empty strings and repeated separators; per-doc
+term counting is an Arrow native hash aggregation over (row, token), so the
+kernel never loops over rows or tokens in Python (guide §4.2). Stop tokens
+are removed from tf/df but doc length counts unfiltered tokens
+(modeling_bm25.py:180).
 """
 
 from __future__ import annotations
 
 import hashlib
-from collections import Counter
 from collections.abc import Iterator
 
 import pyarrow as pa
@@ -49,7 +52,11 @@ from flagembedding_spark.config import BM25Config
 STREAM_SCHEMA = StructType(
     [
         StructField("docid", LongType(), False),
-        StructField("docid_str", StringType(), False),
+        # docid_str is carried on DOC-STATS rows only (every consumer reads
+        # it from there); postings rows store NULL — at ~40 bytes × ~100
+        # postings/doc the repeated string was the single largest column
+        # crossing the Python→JVM boundary and landing in the stream parquet
+        StructField("docid_str", StringType(), True),
         StructField("term", StringType(), True),  # NULL → doc-stats row
         StructField("tf", LongType(), False),
         StructField("dl", LongType(), False),
@@ -60,7 +67,7 @@ STREAM_SCHEMA = StructType(
 _ARROW_SCHEMA = pa.schema(
     [
         pa.field("docid", pa.int64(), nullable=False),
-        pa.field("docid_str", pa.string(), nullable=False),
+        pa.field("docid_str", pa.string(), nullable=True),
         pa.field("term", pa.string(), nullable=True),
         pa.field("tf", pa.int64(), nullable=False),
         pa.field("dl", pa.int64(), nullable=False),
@@ -135,9 +142,24 @@ def tokenize_count_stream(
     did = docid_str if docid_str is not None else docid_expr()
     slim = corpus.select(did.alias("docid_str"), F.col(content_col).alias("content"))
     grouped = group_expr is not None
+    declared = getattr(corpus, "_fes_partition_counts", None)
     if grouped:
         slim = slim.withColumn("_grp", group_expr)
         offsets, expected_counts = grouped_partition_offsets(slim, "_grp")
+    elif declared is not None:
+        # source with statically-known per-partition row counts (e.g. a
+        # spark.range-derived generator) — skip the counting job; the map
+        # stage below still VERIFIES actual rows against these counts, so a
+        # wrong declaration fails loudly instead of mis-assigning docids
+        # drop empty partitions: the verifier compares against rows SEEN,
+        # and an empty partition's map task never records a key
+        expected_counts = {
+            int(k): int(v) for k, v in declared.items() if int(v) > 0
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(expected_counts):
+            offsets[pid] = acc
+            acc += expected_counts[pid]
     else:
         offsets, expected_counts = partition_offsets(slim)
     stop = set(config.stop_tokens)
@@ -145,77 +167,139 @@ def tokenize_count_stream(
     max_out_rows = 262_144  # bound per-batch memory (an input batch of 10k
     # docs would otherwise emit one ~1M-row output batch)
 
+    stop_arr = pa.array(sorted(stop), pa.string()) if stop else None
+
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+        import pyarrow.compute as pc
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         seen: dict = {}  # offsets key → rows emitted so far in this task
-        o_docid, o_str, o_term, o_tf, o_dl, o_sha = [], [], [], [], [], []
-
-        def flush():
-            batch = pa.RecordBatch.from_arrays(
-                [
-                    pa.array(o_docid, pa.int64()),
-                    pa.array(o_str, pa.string()),
-                    pa.array(o_term, pa.string()),
-                    pa.array(o_tf, pa.int64()),
-                    pa.array(o_dl, pa.int64()),
-                    pa.array(o_sha, pa.string()),
-                ],
-                schema=_ARROW_SCHEMA,
-            )
-            o_docid.clear(); o_str.clear(); o_term.clear()
-            o_tf.clear(); o_dl.clear(); o_sha.clear()
-            return batch
 
         for batch in batches:
-            ids = batch.column("docid_str").to_pylist()
-            texts = batch.column("content").to_pylist()
-            grps = batch.column("_grp").to_pylist() if grouped else None
-            for i, (key, text) in enumerate(zip(ids, texts)):
-                okey = (pid, grps[i]) if grouped else pid
-                base = offsets.get(okey)
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column("docid_str")
+            texts = batch.column("content")
+
+            # ---- docid assignment (insertion order, offsets-verified) ----
+            docids = np.empty(n, dtype=np.int64)
+            if grouped:
+                grps_np = np.asarray(batch.column("_grp").to_numpy(
+                    zero_copy_only=False))
+                for g in np.unique(grps_np):
+                    okey = (pid, int(g))
+                    mask = grps_np == g
+                    c = int(mask.sum())
+                    base = offsets.get(okey)
+                    if base is None:
+                        # rows in a partition/group the counting pass never
+                        # saw: the two jobs planned different splits — docids
+                        # would collide with another range. Fail loudly.
+                        raise RuntimeError(
+                            f"docid assignment: partition key {okey} has "
+                            "rows but no offset from the counting pass — "
+                            "input partition layout drifted between the "
+                            "offsets job and the map job (non-deterministic "
+                            "source / AQE replan / concurrent write?)"
+                        )
+                    local = seen.get(okey, 0)
+                    docids[mask] = base + local + np.arange(c, dtype=np.int64)
+                    seen[okey] = local + c
+                    top = base + local + c - 1
+                    if max_local is not None and top >= max_local:
+                        raise RuntimeError(
+                            f"docid assignment: group-local id {top} "
+                            f"overflows the {max_local} id space for key "
+                            f"{okey} — raise the group-id bit budget or use "
+                            "more groups"
+                        )
+            else:
+                base = offsets.get(pid)
                 if base is None:
-                    # rows in a partition/group the counting pass never saw:
-                    # the two jobs planned different splits — docids would
-                    # collide with another range. Fail loudly.
                     raise RuntimeError(
-                        f"docid assignment: partition key {okey} has rows but "
+                        f"docid assignment: partition key {pid} has rows but "
                         "no offset from the counting pass — input partition "
                         "layout drifted between the offsets job and the map "
                         "job (non-deterministic source / AQE replan / "
                         "concurrent write?)"
                     )
-                local = seen.get(okey, 0)
-                seen[okey] = local + 1
-                docid = base + local
-                if max_local is not None and docid >= max_local:
+                local = seen.get(pid, 0)
+                docids[:] = base + local + np.arange(n, dtype=np.int64)
+                seen[pid] = local + n
+                if max_local is not None and docids[-1] >= max_local:
                     raise RuntimeError(
-                        f"docid assignment: group-local id {docid} overflows "
-                        f"the {max_local} id space for key {okey} — raise "
-                        "the group-id bit budget or use more groups"
+                        f"docid assignment: group-local id {int(docids[-1])} "
+                        f"overflows the {max_local} id space for key {pid} — "
+                        "raise the group-id bit budget or use more groups"
                     )
-                toks = text.split(" ")
-                dl = len(toks)
-                cnt = Counter(toks)
-                for t in stop:
-                    cnt.pop(t, None)
-                # doc-stats row
-                o_docid.append(docid)
-                o_str.append(key)
-                o_term.append(None)
-                o_tf.append(0)
-                o_dl.append(dl)
-                o_sha.append(hashlib.sha256(text.encode("utf-8")).hexdigest())
-                # postings rows
-                o_docid.extend([docid] * len(cnt))
-                o_str.extend([key] * len(cnt))
-                o_term.extend(cnt.keys())
-                o_tf.extend(cnt.values())
-                o_dl.extend([dl] * len(cnt))
-                o_sha.extend([None] * len(cnt))
-                if len(o_docid) >= max_out_rows:
-                    yield flush()
+
+            # ---- vectorized tokenize + per-doc term count (T1/A1) ----
+            # split_pattern(" ") is identical to Python's str.split(" ")
+            # (empties kept — verified on edge cases incl. "", "a  b");
+            # dl counts UNFILTERED tokens, the stop filter applies to tf/df
+            # only (reference modeling_bm25.py:180).
+            split = pc.split_pattern(texts, " ")
+            dl_np = pc.list_value_length(split).cast(pa.int64()).to_numpy()
+            flat = pc.list_flatten(split)
+            parent = pc.list_parent_indices(split)
+            if stop_arr is not None:
+                keep = pc.invert(pc.is_in(flat, value_set=stop_arr))
+                flat = flat.filter(keep)
+                parent = parent.filter(keep)
+            agg = (
+                pa.table({"p": parent, "t": flat})
+                .group_by(["p", "t"], use_threads=False)
+                .aggregate([([], "count_all")])
+            )
+            p_np = agg.column("p").to_numpy()
+            term_col = agg.column("t").combine_chunks()
+            tf_col = agg.column("count_all").combine_chunks()
+
+            # ---- doc-stats batch (one row per doc, carries docid_str+sha) --
+            shas = pa.array(
+                [
+                    hashlib.sha256(t.encode("utf-8")).hexdigest()
+                    for t in texts.to_pylist()
+                ],
+                pa.string(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(docids),
+                    ids.combine_chunks() if isinstance(ids, pa.ChunkedArray)
+                    else ids,
+                    pa.nulls(n, pa.string()),
+                    pa.array(np.zeros(n, dtype=np.int64)),
+                    pa.array(dl_np),
+                    shas,
+                ],
+                schema=_ARROW_SCHEMA,
+            )
+
+            # ---- postings batch(es): sha is NULL; docid_str is NULL too
+            # EXCEPT in grouped mode, whose resumable-build consumer
+            # (plans/lineage.py) recomputes each row's chunk from docid_str
+            m = len(p_np)
+            if m == 0:
+                continue
+            post = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(docids[p_np]),
+                    pc.take(ids, pa.array(p_np)) if grouped
+                    else pa.nulls(m, pa.string()),
+                    term_col,
+                    tf_col,
+                    pa.array(dl_np[p_np]),
+                    pa.nulls(m, pa.string()),
+                ],
+                schema=_ARROW_SCHEMA,
+            )
+            for s in range(0, m, max_out_rows):
+                yield post.slice(s, max_out_rows)
+
         my_expected = {
             k: c for k, c in expected_counts.items()
             if (k[0] if grouped else k) == pid
@@ -226,7 +310,5 @@ def tokenize_count_stream(
                 f"map stage but the counting pass recorded {my_expected} — "
                 "layout drift between the two jobs would mis-assign docids"
             )
-        if o_docid:
-            yield flush()
 
     return slim.mapInArrow(gen, STREAM_SCHEMA)

@@ -198,13 +198,17 @@ def distributed_synth_corpus_skewed(
     needle = F.concat(
         F.lit("needle_"), (F.abs(i) % N_NEEDLES).cast("string")
     )
-    return base.withColumn(
+    out = base.withColumn(
         "content",
         F.when(
             F.abs(F.xxhash64("path", F.lit("plant"))) % NEEDLE_EVERY == 0,
             F.concat(F.col("content"), F.lit(" "), needle),
         ).otherwise(F.col("content")),
     )
+    # 1:1 row-preserving projection — the base's declared partition counts
+    # still hold (verified in-stage by the arrow build)
+    out._fes_partition_counts = base._fes_partition_counts
+    return out
 
 
 def skewed_queries(spark: SparkSession) -> DataFrame:
@@ -256,10 +260,27 @@ def distributed_synth_corpus(
     )
     r = F.col("i") % F.lit(max(1, n_docs // 50 + 1))
     repo = F.concat(F.lit("org"), (r / 10).cast("long").cast("string"), F.lit("/repo"), r.cast("string"))
-    return df.select(
+    out = df.select(
         repo.alias("repo"),
         F.concat(F.lit("src/d"), (F.col("i") % 7).cast("string"), F.lit("/file_"), F.col("i").cast("string"), F.lit(".py")).alias("path"),
         F.sha1(F.concat(F.lit("commit-"), repo)).alias("commit"),
         F.element_at(F.array(*[F.lit(x) for x in _LANGS]), (h(F.col("i"), F.lit("lang")) % 5 + 1).cast("int")).alias("lang"),
         F.array_join(tok, " ").alias("content"),
     )
+    # spark.range splits [0, n) into ``partitions`` contiguous slices of
+    # statically-known size; declaring them lets the arrow index build skip
+    # its row-counting pre-job (the map stage still verifies actual rows
+    # against this declaration — test_partition_counts_declaration)
+    out._fes_partition_counts = range_partition_counts(n_docs, partitions)
+    return out
+
+
+def range_partition_counts(n: int, partitions: int) -> dict[int, int]:
+    """Per-partition row counts of ``spark.range(0, n, 1, partitions)``:
+    partition i holds floor((i+1)·n/p) − floor(i·n/p) rows (Spark's Range
+    split arithmetic)."""
+    p = max(int(partitions), 1)
+    return {
+        i: ((i + 1) * n) // p - (i * n) // p
+        for i in range(p)
+    }

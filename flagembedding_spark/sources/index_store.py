@@ -61,18 +61,29 @@ def build_and_save_index(
     t0 = time.perf_counter()
     spark = corpus.sparkSession
     persisted = spark.read.parquet(f"{root}/stream")
-    doc_stats = persisted.filter(F.col("term").isNull())
-    row = doc_stats.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
-
-    postings = persisted.filter(F.col("term").isNotNull())
+    # ONE column-pruned scan of (term, dl) derives the dictionary AND the
+    # corpus stats: doc-stats rows (term NULL) land in the NULL group, whose
+    # count is n_docs and whose avg(dl) is avgdl — previously two separate
+    # full scans of the stream (guide §2.4: share the pass). The aggregate
+    # is vocabulary-sized, so caching it for the two tiny consumers is free.
+    agged = (
+        persisted.groupBy("term")
+        .agg(F.count("*").alias("df"), F.avg("dl").alias("avg_dl"))
+        .cache()
+    )
+    null_row = agged.filter(F.col("term").isNull()).collect()
+    n_docs = int(null_row[0]["df"]) if null_row else 0
+    avgdl = float(null_row[0]["avg_dl"] or 0.0) if null_row else 0.0
     n = float(n_docs)
-    dictionary = (
-        postings.groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .withColumn("idf", F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0))
+    dictionary = agged.filter(F.col("term").isNotNull()).select(
+        "term",
+        "df",
+        F.log(
+            (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
     )
     dictionary.write.mode("overwrite").parquet(f"{root}/dictionary")
+    agged.unpersist()
 
     meta = {
         "n_docs": n_docs,

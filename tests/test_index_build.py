@@ -171,3 +171,46 @@ def test_docid_layout_drift_fails_loudly(tiny_corpus, monkeypatch):
     monkeypatch.setattr(ap, "partition_offsets", wrong_counts)
     with pytest.raises(Exception, match="layout drift"):
         build_index(tiny_corpus, BM25Config(), method="arrow").postings.count()
+
+
+def test_partition_counts_declaration(spark):
+    """Declared per-partition counts (range_partition_counts) must match the
+    counting job's ground truth for awkward (n, partitions) shapes, the
+    declared-counts fast path must produce the identical index, and a WRONG
+    declaration must fail loudly in the map stage (not mis-assign docids)."""
+    from flagembedding_spark.operators.arrow_postings import partition_offsets
+    from flagembedding_spark.schemas import (
+        distributed_synth_corpus,
+        range_partition_counts,
+    )
+
+    for n, p in ((100, 7), (1000, 16), (13, 16), (1, 3)):
+        corpus = distributed_synth_corpus(spark, n, partitions=p)
+        slim = corpus.select("path")
+        _offs, counts = partition_offsets(slim)
+        declared = {
+            k: v for k, v in range_partition_counts(n, p).items() if v > 0
+        }
+        assert counts == declared, (n, p)
+
+    # fast path == counting-job path, bit for bit
+    cfg = BM25Config()
+    corpus = distributed_synth_corpus(spark, 200, partitions=7)
+    fast = build_index(corpus, cfg, cache=False)
+    corpus2 = distributed_synth_corpus(spark, 200, partitions=7)
+    del corpus2._fes_partition_counts
+    slow = build_index(corpus2, cfg, cache=False)
+    key = lambda df: sorted(  # noqa: E731
+        (r["term"], r["docid"], r["tf"], r["dl"])
+        for r in df.postings.collect()
+    )
+    assert key(fast) == key(slow)
+    assert sorted(r["docid"] for r in fast.doc_stats.collect()) == sorted(
+        r["docid"] for r in slow.doc_stats.collect()
+    )
+
+    # wrong declaration → loud failure
+    bad = distributed_synth_corpus(spark, 200, partitions=7)
+    bad._fes_partition_counts = {0: 200}
+    with pytest.raises(Exception, match="docid assignment"):
+        build_index(bad, cfg, cache=False).postings.count()
