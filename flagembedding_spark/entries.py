@@ -61,19 +61,28 @@ def build_doc_index(spark: SparkSession, sf_dir: str,
                     config: BM25Config | None = None) -> InvertedIndex:
     """Index over the driver's documents table. Memoized per (session, dir,
     params) with cached postings/dictionary — the driver's verify runs ~26
-    entries in one process, most of which need this same index."""
+    entries in one process, most of which need this same index.
+
+    Built on the arrow (mapInArrow tokenize-and-count) path with the table's
+    own doc_id passed through: ONE corpus pass, zero shuffles for postings
+    (the sql explode→groupBy path paid a token-stream exchange plus a second
+    tokenize pass for the stats aggregate); cache=True caches the unified
+    stream, so postings/doc_stats/dictionary all derive from the single
+    materialized pass. Logical outputs are identical (arrow==sql identity
+    is pytest-asserted)."""
     config = config or BM25Config(k1=K1, b=B)
-    key = (id(spark), sf_dir, config.k1, config.b, config.use_avgdl,
-           tuple(sorted(config.stop_tokens)))
+    # keyed on applicationId, not id(spark): id() can be reused after a
+    # session is garbage-collected, aliasing a new session to a stale memo
+    key = (spark.sparkContext.applicationId, sf_dir, config.k1, config.b,
+           config.use_avgdl, tuple(sorted(config.stop_tokens)))
     if key in _INDEX_MEMO:
         return _INDEX_MEMO[key]
     docs = _docs(spark, sf_dir)
     idx = build_index(
-        docs, config, content_col="text", docid_long="doc_id", cache=False,
+        docs, config, content_col="text", docid_long="doc_id", cache=True,
     )
     idx.postings = idx.postings.cache()
     idx.doc_stats = idx.doc_stats.cache()
-    idx.dictionary = idx.dictionary.cache()
     _INDEX_MEMO[key] = idx
     return idx
 

@@ -3602,10 +3602,16 @@ def q_bm25_topk_filtered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from flagembedding_spark.operators.wand import wand_topk
 
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): id() can be reused after a session is
+    # garbage-collected, aliasing a new session to a stale store (ADVICE r05)
+    key = (spark.sparkContext.applicationId, sf_dir)
     root = _LAYOUT_MEMO.get(key)
     if root is None:
+        import atexit
+        import shutil
+
         root = tempfile.mkdtemp(prefix="fes_lang_store_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
         idx = build_doc_index(spark, sf_dir)
         meta = _docs(spark, sf_dir).select(
             F.col("doc_id").alias("docid"), "lang"

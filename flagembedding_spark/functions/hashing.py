@@ -54,3 +54,84 @@ def perm_hash(base: Column, a: int, b: int) -> Column:
 
 def perm_hash_sql(base_expr: str, a: int, b: int) -> str:
     return f"(({a} * ({base_expr} % {MERSENNE_P}) + {b}) % {MERSENNE_P})"
+
+
+# ---------------------------------------------------------------------------
+# Spark-compatible xxhash64 for strings (driver-side twin)
+#
+# Spark's ``F.xxhash64(string_col)`` is reference XXH64 over the UTF-8 bytes
+# with seed 42. Having the same value computable in plain Python lets plan
+# construction (e.g. segment bucket pruning, which needs
+# pmod(xxhash64(term), n_buckets) for a handful of query terms) run on the
+# driver instead of launching a Spark job per query batch.
+# Parity is pytest-asserted against F.xxhash64 (test_xxhash64_py_parity).
+# ---------------------------------------------------------------------------
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxhash64_py(s: str | bytes, seed: int = 42) -> int:
+    """Reference XXH64 of the UTF-8 bytes, as a SIGNED 64-bit int —
+    bit-identical to Spark's ``xxhash64(col)`` for string columns."""
+    b = s.encode("utf-8") if isinstance(s, str) else s
+    n = len(b)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i + 32 <= n:
+            k = int.from_bytes(b[i:i + 8], "little")
+            v1 = (_rotl64((v1 + k * _XXP2) & _M64, 31) * _XXP1) & _M64
+            k = int.from_bytes(b[i + 8:i + 16], "little")
+            v2 = (_rotl64((v2 + k * _XXP2) & _M64, 31) * _XXP1) & _M64
+            k = int.from_bytes(b[i + 16:i + 24], "little")
+            v3 = (_rotl64((v3 + k * _XXP2) & _M64, 31) * _XXP1) & _M64
+            k = int.from_bytes(b[i + 24:i + 32], "little")
+            v4 = (_rotl64((v4 + k * _XXP2) & _M64, 31) * _XXP1) & _M64
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl64((v * _XXP2) & _M64, 31) * _XXP1) & _M64
+            h = ((h * _XXP1) + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = int.from_bytes(b[i:i + 8], "little")
+        h ^= (_rotl64((k * _XXP2) & _M64, 31) * _XXP1) & _M64
+        h = ((_rotl64(h, 27) * _XXP1) + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        k = int.from_bytes(b[i:i + 4], "little")
+        h ^= (k * _XXP1) & _M64
+        h = ((_rotl64(h, 23) * _XXP2) + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (b[i] * _XXP5) & _M64
+        h = (_rotl64(h, 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def pmod_xxhash64_py(s: str, n: int, seed: int = 42) -> int:
+    """Driver-side twin of ``F.pmod(F.xxhash64(col), F.lit(n))``."""
+    h = xxhash64_py(s, seed)
+    return ((h % n) + n) % n

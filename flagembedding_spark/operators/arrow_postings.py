@@ -126,6 +126,7 @@ def tokenize_count_stream(
     docid_str: F.Column | None = None,
     group_expr: F.Column | None = None,
     max_local: int | None = None,
+    docid_long: str | None = None,
 ) -> DataFrame:
     """corpus → unified stream of postings rows (term NOT NULL) and doc-stats
     rows (term NULL, carrying content_sha256). Zero shuffles.
@@ -136,14 +137,29 @@ def tokenize_count_stream(
     (group << B) | docid gets ids that are independent of which other groups
     were built in the same pass (resumable-build stability). ``max_local``
     bounds the per-group id and raises past it (overflow into the group
-    bits)."""
+    bits).
+
+    ``docid_long``: name of a pre-existing integer docid column — ids pass
+    through verbatim, so the offsets/counting machinery (and its pre-job)
+    is skipped entirely."""
     from flagembedding_spark.operators.index_build import docid_expr
 
+    if docid_long is not None and docid_str is None:
+        docid_str = F.col(docid_long).cast("string")
     did = docid_str if docid_str is not None else docid_expr()
-    slim = corpus.select(did.alias("docid_str"), F.col(content_col).alias("content"))
+    sel = [did.alias("docid_str"), F.col(content_col).alias("content")]
+    if docid_long is not None:
+        if group_expr is not None:
+            raise ValueError(
+                "docid_long and group_expr are mutually exclusive"
+            )
+        sel.insert(0, F.col(docid_long).cast("long").alias("_docid"))
+    slim = corpus.select(*sel)
     grouped = group_expr is not None
     declared = getattr(corpus, "_fes_partition_counts", None)
-    if grouped:
+    if docid_long is not None:
+        offsets, expected_counts = {}, {}
+    elif grouped:
         slim = slim.withColumn("_grp", group_expr)
         offsets, expected_counts = grouped_partition_offsets(slim, "_grp")
     elif declared is not None:
@@ -175,6 +191,7 @@ def tokenize_count_stream(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
+        pass_ids = docid_long is not None
         seen: dict = {}  # offsets key → rows emitted so far in this task
 
         for batch in batches:
@@ -184,9 +201,14 @@ def tokenize_count_stream(
             ids = batch.column("docid_str")
             texts = batch.column("content")
 
-            # ---- docid assignment (insertion order, offsets-verified) ----
-            docids = np.empty(n, dtype=np.int64)
-            if grouped:
+            # ---- docid assignment (insertion order, offsets-verified;
+            # or verbatim passthrough when the source carries docids) ----
+            if pass_ids:
+                docids = batch.column("_docid").to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64, copy=False)
+            elif grouped:
+                docids = np.empty(n, dtype=np.int64)
                 grps_np = np.asarray(batch.column("_grp").to_numpy(
                     zero_copy_only=False))
                 for g in np.unique(grps_np):
@@ -227,7 +249,7 @@ def tokenize_count_stream(
                         "concurrent write?)"
                     )
                 local = seen.get(pid, 0)
-                docids[:] = base + local + np.arange(n, dtype=np.int64)
+                docids = base + local + np.arange(n, dtype=np.int64)
                 seen[pid] = local + n
                 if max_local is not None and docids[-1] >= max_local:
                     raise RuntimeError(

@@ -157,8 +157,12 @@ def build_index(
     """
     config = config or BM25Config()
 
-    if method == "arrow" and docid_long is None:
-        return _build_index_arrow(corpus, config, content_col, docid_str, cache)
+    if method == "arrow":
+        # docid_long passes through the kernel verbatim (no offsets pre-job);
+        # without it the kernel assigns dense insertion-order ids
+        return _build_index_arrow(
+            corpus, config, content_col, docid_str, cache, docid_long
+        )
 
     if docid_long is not None and docid_str is None:
         docid_str = F.col(docid_long).cast("string")
@@ -219,10 +223,13 @@ def _build_index_arrow(
     content_col: str,
     docid_str: F.Column | None,
     cache: bool,
+    docid_long: str | None = None,
 ) -> InvertedIndex:
     from flagembedding_spark.operators.arrow_postings import tokenize_count_stream
 
-    stream = tokenize_count_stream(corpus, config, content_col, docid_str)
+    stream = tokenize_count_stream(
+        corpus, config, content_col, docid_str, docid_long=docid_long
+    )
     if cache:
         stream = stream.cache()
 

@@ -498,6 +498,20 @@ def _conjunctive_query(qid: str, term_blocks: dict, k: int, m_required: int,
 # session (ADVICE r03: repeated calls used to accumulate cached partitions
 # until LRU pressure). release_two_phase_cache() frees the last one.
 _TP_CACHE: list[DataFrame] = []
+_MASK_BC: list = []  # live exclude/include mask broadcasts (see release hook)
+
+
+def release_mask_broadcasts() -> None:
+    """Unpersist mask broadcasts created by earlier wand_topk calls with
+    large exclude/include sets. Call once the result DataFrames of those
+    calls have been consumed — a long-lived session issuing many filtered
+    queries otherwise accumulates executor broadcast blocks until Python GC
+    happens to collect the closures (ADVICE r05)."""
+    while _MASK_BC:
+        try:
+            _MASK_BC.pop().unpersist()
+        except Exception:
+            pass
 
 
 def release_two_phase_cache() -> None:
@@ -779,8 +793,9 @@ def candidate_block_plan(
         # boost contract on this path: strictly positive (w == 0.0 is the
         # MUST_NOT marker, and the kernels' upper bounds assume w > 0).
         # A zero boost means "term contributes nothing" — dropping the
-        # stream IS that semantics; negative boosts are rejected by the
-        # parser and unsupported here.
+        # stream IS that semantics; a negative-boost token ('term^-2')
+        # does not match the parse regex, so it survives as the literal
+        # term with boost 1.0 — no negative weight can reach the kernel.
         qt = qt.filter(
             (F.col("qtf") == 0) | (F.coalesce(F.col("boost"), F.lit(1.0)) != 0)
         )
@@ -813,6 +828,18 @@ def candidate_block_plan(
             for r in rows
         ]
         terms = sorted({r["term"] for r in rows})
+    elif qterms is None and queries.isLocal():
+        # driver-local query set (the common serving/bench shape): the
+        # distinct-term set for the IN() pushdown is computable with zero
+        # Spark jobs — collect() on a LocalRelation is job-free, and the
+        # tokenizer twin is the same single-space split as query_terms
+        terms = sorted(
+            {
+                t
+                for r in queries.select(query_col).collect()
+                for t in (r[0] or "").split(" ")
+            }
+        )
     else:
         terms = [r["term"] for r in qt.select("term").distinct().collect()]
     blocks = seg.blocks
@@ -820,19 +847,15 @@ def candidate_block_plan(
     if 0 < len(terms) <= 10_000:
         blocks = blocks.filter(F.col("term").isin(terms))
         # bucket pruning only applies to the term-hash layout; in the doc
-        # layout every bucket can hold any term
+        # layout every bucket can hold any term. The bucket of each term is
+        # computed DRIVER-SIDE with the pytest-verified xxhash64 twin — the
+        # old createDataFrame+collect spent a whole Spark job hashing a
+        # handful of strings on every query batch.
         if not doc_layout and "bucket" in blocks.columns:
+            from flagembedding_spark.functions.hashing import pmod_xxhash64_py
+
             buckets = sorted(
-                {
-                    r["b"]
-                    for r in spark.createDataFrame([(t,) for t in terms], ["term"])
-                    .select(
-                        F.pmod(F.xxhash64("term"), F.lit(cfg.term_buckets))
-                        .cast("int")
-                        .alias("b")
-                    )
-                    .collect()
-                }
+                {pmod_xxhash64_py(t, cfg.term_buckets) for t in terms}
             )
             blocks = blocks.filter(F.col("bucket").isin(buckets))
 
@@ -1052,6 +1075,7 @@ def wand_topk(
         isinstance(dead_arr, np.ndarray) and dead_arr.size <= 4096
     ):
         dead_bc = spark.sparkContext.broadcast(dead_arr)
+        _MASK_BC.append(dead_bc)  # released via release_mask_broadcasts()
         dead_arr = None
     kk = k
     if use_wand is True:

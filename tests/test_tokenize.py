@@ -57,3 +57,35 @@ def test_sanitize_queries(spark):
 def test_normalize_text(spark):
     df = spark.createDataFrame([("  Foo   BAR\tbaz ",)], ["t"])
     assert df.select(normalize_text("t")).first()[0] == "foo bar baz"
+
+
+def test_xxhash64_py_parity(spark):
+    """Driver-side xxhash64 twin must be bit-identical to Spark's xxhash64
+    for strings (every length class: <4, 4-7, 8-31, >=32 bytes; unicode),
+    and the pmod composition must match pmod(xxhash64(term), n) — the plan
+    construction fast path (wand.candidate_block_plan bucket pruning)
+    depends on it."""
+    from pyspark.sql import functions as F
+
+    from flagembedding_spark.functions.hashing import (
+        pmod_xxhash64_py,
+        xxhash64_py,
+    )
+
+    cases = (
+        ["", "a", "ab", "abc", "abcd", "def", "return", "self", "("]
+        + ["x" * n for n in (5, 7, 8, 9, 15, 16, 17, 31, 32, 33, 63, 64, 100)]
+        + ["héllo wörld", "日本語のテスト文字列です少し長めに", "needle_0",
+           "get_er_0", "a b", "term^2"]
+    )
+    df = spark.createDataFrame([(c,) for c in cases], ["s"])
+    rows = df.select(
+        "s",
+        F.xxhash64("s").alias("h"),
+        F.pmod(F.xxhash64("s"), F.lit(64)).cast("int").alias("b64"),
+        F.pmod(F.xxhash64("s"), F.lit(17)).cast("int").alias("b17"),
+    ).collect()
+    for r in rows:
+        assert xxhash64_py(r["s"]) == r["h"], r["s"]
+        assert pmod_xxhash64_py(r["s"], 64) == r["b64"], r["s"]
+        assert pmod_xxhash64_py(r["s"], 17) == r["b17"], r["s"]
