@@ -37,7 +37,41 @@ def noop(df) -> float:
     return time.perf_counter() - t
 
 
+def sweep_entries() -> None:
+    """Time every declared queries() entry at sf0.1 with the noop sink
+    (guide §1.4) — the operator-coverage checklist for OPTIMIZATION_r06.md.
+    First call per entry is cold (includes its build/memo); second is warm
+    (query path only). Usage: python bench_extra.py sweep [sf_dir]"""
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("fes-entry-sweep", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name, fn in qs.items():
+        spark.sparkContext.setJobDescription(f"sweep:{name}")
+        try:
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            cold = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warm = time.perf_counter() - t0
+            out[name] = {"cold": round(cold, 3), "warm": round(warm, 3)}
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            out[name] = {"error": str(exc)[:200]}
+        spark.sparkContext.setJobDescription(None)
+    spark.stop()
+    print(json.dumps({"sf_dir": sf_dir, "entries": out}))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        sweep_entries()
+        return
     n_docs = int(os.environ.get("FES_EXTRA_DOCS",
                                 sys.argv[1] if len(sys.argv) > 1 else "200000"))
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3

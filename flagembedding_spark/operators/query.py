@@ -34,9 +34,51 @@ from flagembedding_spark.functions.tokenize import whitespace_tokens
 from flagembedding_spark.operators.index_build import InvertedIndex
 
 
+def driver_local_rows(df: DataFrame):
+    """collect() IFF ``df``'s logical plan is driver-originated data — a
+    LocalRelation or a LogicalRDD (what PySpark's createDataFrame over a
+    Python list builds; nothing in this engine wraps a distributed RDD in
+    one). Returns None for every other plan, so distributed inputs are
+    never pulled to the driver. Used to keep query-set-sized side inputs
+    off the Spark job path entirely."""
+    try:
+        cname = df._jdf.queryExecution().logical().getClass().getSimpleName()
+    except Exception:
+        return None
+    if cname in ("LocalRelation", "LogicalRDD"):
+        return df.collect()
+    return None
+
+
 def query_terms(queries: DataFrame, qid_col: str = "query_id",
                 query_col: str = "query") -> DataFrame:
-    """(qid, term, qtf). Duplicate tokens aggregate to qtf>1 (SURVEY §2.5.2)."""
+    """(qid, term, qtf). Duplicate tokens aggregate to qtf>1 (SURVEY §2.5.2).
+
+    Driver-originated query sets (the serving/bench shape) are tokenized on
+    the driver with the SAME single-space split, skipping the explode →
+    groupBy exchange and its shuffle-stage job; the result feeds the
+    downstream broadcast joins directly. Distributed inputs keep the
+    explode → groupBy plan."""
+    rows = driver_local_rows(queries)
+    if rows is not None:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        counts: dict[tuple, int] = {}
+        for r in rows:
+            # explode(split(NULL)) emits nothing; NULL qids group as-is
+            if r[query_col] is None:
+                continue
+            for t in r[query_col].split(" "):
+                k = (r[qid_col], t)
+                counts[k] = counts.get(k, 0) + 1
+        schema = StructType([
+            StructField("qid", queries.select(qid_col).schema[0].dataType),
+            StructField("term", queries.select(query_col).schema[0].dataType),
+            StructField("qtf", LongType()),
+        ])
+        return queries.sparkSession.createDataFrame(
+            [(q, t, c) for (q, t), c in counts.items()], schema
+        )
     return (
         queries.select(F.col(qid_col).alias("qid"), F.explode(whitespace_tokens(query_col)).alias("term"))
         .groupBy("qid", "term")

@@ -510,6 +510,9 @@ def merge_segments(
             tbl = batch
             terms = tbl.column("term").to_pylist()
             firsts = tbl.column("docid_first").to_pylist()
+            lasts = tbl.column("docid_last").to_pylist()
+            ns = tbl.column("n").to_pylist()
+            maxes = tbl.column("max_tfn").to_pylist()
             docs = tbl.column("docs").to_pylist()
             tfs = tbl.column("tfs").to_pylist()
             dls = tbl.column("dls").to_pylist()
@@ -517,13 +520,42 @@ def merge_segments(
             buckets = tbl.column("bucket").to_pylist()
             for i, term in enumerate(terms):
                 per_term.setdefault(term, []).append(
-                    (firsts[i], docs[i], tfs[i], dls[i], poss[i])
+                    (firsts[i], docs[i], tfs[i], dls[i], poss[i],
+                     lasts[i], ns[i], maxes[i])
                 )
                 bucket_of[term] = buckets[i]
         rows: list = []
         for term in sorted(per_term):
+            blocks_t = sorted(per_term[term], key=lambda e: e[0])
+            # PASS-THROUGH fast path: blocks already forming one canonical
+            # run — every block full except the (global) last, docid ranges
+            # strictly increasing and disjoint — are BYTE-IDENTICAL to their
+            # re-encode (re-chunking by position reproduces the same block
+            # boundaries, and the codec/max_tfn are deterministic functions
+            # of block content), so only ord is rewritten. This skips the
+            # decode+re-encode for the entire unsalted term tail; only hot
+            # (salted, multi-run) terms pay the k-way merge. Byte identity
+            # is covered by the existing merge/hierarchical-merge tests.
+            canonical = all(
+                e[6] == block_size for e in blocks_t[:-1]
+            ) and all(
+                blocks_t[i + 1][0] > blocks_t[i][5]
+                for i in range(len(blocks_t) - 1)
+            )
+            if canonical:
+                bkt = bucket_of[term]
+                for ord_, e in enumerate(blocks_t):
+                    rows.append(
+                        (bkt, term, ord_, e[6], e[0], e[5], e[7],
+                         e[1], e[2], e[3], e[4])
+                    )
+                if len(rows) >= 4096:
+                    yield _rows_to_batch(rows)
+                    rows = []
+                continue
             parts = [
-                decode_block(f, d, t, l_) for f, d, t, l_, _p in per_term[term]
+                decode_block(f, d, t, l_)
+                for f, d, t, l_, _p, _la, _n, _m in blocks_t
             ]
             d = np.concatenate([x[0] for x in parts])
             t = np.concatenate([x[1] for x in parts])
@@ -533,8 +565,8 @@ def merge_segments(
             if has_pos:
                 pflat = np.concatenate(
                     [
-                        decode_positions(p, parts[i][1])
-                        for i, (_f, _d, _t, _l, p) in enumerate(per_term[term])
+                        decode_positions(e[4], parts[i][1])
+                        for i, e in enumerate(blocks_t)
                     ]
                 )
                 pstarts = (np.cumsum(t) - t).astype(np.int64)

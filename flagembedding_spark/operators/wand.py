@@ -828,20 +828,19 @@ def candidate_block_plan(
             for r in rows
         ]
         terms = sorted({r["term"] for r in rows})
-    elif qterms is None and queries.isLocal():
-        # driver-local query set (the common serving/bench shape): the
-        # distinct-term set for the IN() pushdown is computable with zero
-        # Spark jobs — collect() on a LocalRelation is job-free, and the
-        # tokenizer twin is the same single-space split as query_terms
-        terms = sorted(
-            {
-                t
-                for r in queries.select(query_col).collect()
-                for t in (r[0] or "").split(" ")
-            }
-        )
     else:
-        terms = [r["term"] for r in qt.select("term").distinct().collect()]
+        # driver-originated query/qterm sets (the serving/bench shape)
+        # resolve the distinct-term IN() pushdown without touching the
+        # cluster; distributed inputs fall back to the collect job
+        from flagembedding_spark.operators.query import driver_local_rows
+
+        local_qt = driver_local_rows(qt)
+        if local_qt is not None:
+            terms = sorted({r["term"] for r in local_qt})
+        else:
+            terms = [
+                r["term"] for r in qt.select("term").distinct().collect()
+            ]
     blocks = seg.blocks
     doc_layout = getattr(seg, "layout", "term") == "doc"
     if 0 < len(terms) <= 10_000:

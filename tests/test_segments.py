@@ -827,3 +827,34 @@ def test_two_phase_auto_engages_with_low_threshold(spark, monkeypatch):
         wand_topk(seg, qs, k=5, use_wand="auto", two_phase="auto").collect(), 6
     )
     assert auto == base
+
+
+def test_merge_passthrough_canonical_form(spark):
+    """The merge's single-run pass-through must leave every term in exact
+    canonical form — ords contiguous from 0, every block full except the
+    last, ranges strictly increasing — indistinguishable from a re-encode
+    (mixed fixture: salted hot terms exercise the k-way merge branch,
+    the vocabulary tail exercises the pass-through)."""
+    from flagembedding_spark.schemas import synth_corpus
+
+    corpus = synth_corpus(spark, 300, seed=7)
+    cfg = BM25Config(block_size=8, salt_threshold_df=40, max_salt=4,
+                     term_buckets=8)
+    idx = build_index(corpus, cfg)
+    seg = merge_segments(build_segments(idx))
+    rows = seg.blocks.collect()
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    n_multi = 0
+    for term, bs in by_term.items():
+        bs.sort(key=lambda r: r["block_ord"])
+        assert [b["block_ord"] for b in bs] == list(range(len(bs))), term
+        for i, b in enumerate(bs):
+            if i < len(bs) - 1:
+                assert b["n"] == cfg.block_size, (term, i)
+                assert bs[i + 1]["docid_first"] > b["docid_last"], (term, i)
+            assert b["docid_first"] <= b["docid_last"], (term, i)
+        if len(bs) > 1:
+            n_multi += 1
+    assert n_multi > 0  # fixture non-vacuous: some terms span blocks

@@ -89,3 +89,36 @@ def test_xxhash64_py_parity(spark):
         assert xxhash64_py(r["s"]) == r["h"], r["s"]
         assert pmod_xxhash64_py(r["s"], 64) == r["b64"], r["s"]
         assert pmod_xxhash64_py(r["s"], 17) == r["b17"], r["s"]
+
+
+def test_query_terms_driver_local_parity(spark):
+    """query_terms' driver-side fast path (LogicalRDD/LocalRelation inputs)
+    must produce exactly the explode->groupBy plan's rows — including NULL
+    queries (no rows), NULL qids (grouped as-is), duplicate tokens (qtf>1)
+    and empty-string tokens from double spaces."""
+    from flagembedding_spark.operators.query import (
+        driver_local_rows,
+        query_terms,
+    )
+
+    df = spark.createDataFrame(
+        [("q1", "a b a"), ("q2", "c  d"), ("q3", None), (None, "x"),
+         ("q4", ""), ("q1", "a")],
+        ["query_id", "query"],
+    )
+    key = lambda t: (t[0] or "", t[1], t[2])  # noqa: E731
+    fast = sorted(
+        ((r["qid"], r["term"], r["qtf"]) for r in query_terms(df).collect()),
+        key=key,
+    )
+    assert driver_local_rows(df) is not None          # fast path engaged
+    dist = df.repartition(2)
+    assert driver_local_rows(dist) is None            # fallback engaged
+    slow = sorted(
+        ((r["qid"], r["term"], r["qtf"])
+         for r in query_terms(dist).collect()),
+        key=key,
+    )
+    assert fast == slow
+    assert query_terms(df).schema.simpleString() == \
+        query_terms(dist).schema.simpleString()
