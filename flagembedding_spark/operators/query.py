@@ -40,7 +40,12 @@ def driver_local_rows(df: DataFrame):
     Python list builds; nothing in this engine wraps a distributed RDD in
     one). Returns None for every other plan, so distributed inputs are
     never pulled to the driver. Used to keep query-set-sized side inputs
-    off the Spark job path entirely."""
+    off the Spark job path entirely. Frames produced by the driver-side
+    fast paths carry their rows as an attribute — read back with zero
+    jobs."""
+    cached = getattr(df, "_fes_local_rows", None)
+    if cached is not None:
+        return cached
     try:
         cname = df._jdf.queryExecution().logical().getClass().getSimpleName()
     except Exception:
@@ -76,9 +81,15 @@ def query_terms(queries: DataFrame, qid_col: str = "query_id",
             StructField("term", queries.select(query_col).schema[0].dataType),
             StructField("qtf", LongType()),
         ])
-        return queries.sparkSession.createDataFrame(
+        out = queries.sparkSession.createDataFrame(
             [(q, t, c) for (q, t), c in counts.items()], schema
         )
+        from pyspark.sql import Row
+
+        out._fes_local_rows = [
+            Row(qid=q, term=t, qtf=c) for (q, t), c in counts.items()
+        ]
+        return out
     return (
         queries.select(F.col(qid_col).alias("qid"), F.explode(whitespace_tokens(query_col)).alias("term"))
         .groupBy("qid", "term")

@@ -76,6 +76,16 @@ _LANGS = ["python", "java", "go", "js", "c"]
 _EXT = {"python": "py", "java": "java", "go": "go", "js": "js", "c": "c"}
 
 
+def _sql_string_array(values: list[str]):
+    """Constant array<string> literal built with ONE py4j call (SQL-parsed
+    JVM-side) instead of one round trip per element."""
+    quoted = ",".join(
+        "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        for v in values
+    )
+    return F.expr(f"array({quoted})")
+
+
 def _identifier_vocab(n: int = 2000) -> list[str]:
     stems = [
         "get", "set", "build", "parse", "read", "write", "merge", "index",
@@ -235,8 +245,12 @@ def distributed_synth_corpus(
     Token draws approximate the same skewed distribution as synth_corpus.
     """
     vocab = _identifier_vocab(2000)
-    vocab_arr = F.array(*[F.lit(v) for v in vocab[:512]])  # keep expr tree sane
-    hot_arr = F.array(*[F.lit(t) for t in HOT_TOKENS])
+    # one array literal per list, parsed JVM-side in a single py4j call:
+    # F.array(*[F.lit(v) ...]) — and F.lit(list), which expands to the same
+    # per-element calls — spent ~0.3 s of DRIVER time per corpus DataFrame
+    # on 500+ py4j round trips building the same constant-folded Literal
+    vocab_arr = _sql_string_array(vocab[:512])  # keep expr tree sane
+    hot_arr = _sql_string_array(HOT_TOKENS)
 
     df = spark.range(0, n_docs, 1, partitions).withColumnRenamed("id", "i")
     h = lambda *cols: F.abs(F.xxhash64(*cols, F.lit(seed)))  # noqa: E731
@@ -264,7 +278,7 @@ def distributed_synth_corpus(
         repo.alias("repo"),
         F.concat(F.lit("src/d"), (F.col("i") % 7).cast("string"), F.lit("/file_"), F.col("i").cast("string"), F.lit(".py")).alias("path"),
         F.sha1(F.concat(F.lit("commit-"), repo)).alias("commit"),
-        F.element_at(F.array(*[F.lit(x) for x in _LANGS]), (h(F.col("i"), F.lit("lang")) % 5 + 1).cast("int")).alias("lang"),
+        F.element_at(_sql_string_array(_LANGS), (h(F.col("i"), F.lit("lang")) % 5 + 1).cast("int")).alias("lang"),
         F.array_join(tok, " ").alias("content"),
     )
     # spark.range splits [0, n) into ``partitions`` contiguous slices of
