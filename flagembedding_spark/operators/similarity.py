@@ -24,6 +24,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _sql_double_array(values) -> Column:
+    """Constant array<double> literal in ONE py4j call (SQL-parsed JVM-side).
+    F.array(*[F.lit(float(x)) ...]) costs one gateway round trip per element
+    — thousands per LSH/IVF plan at realistic dims. Python repr() is the
+    shortest round-trip decimal for a finite double and Java's parseDouble
+    is correctly rounded, so the parsed values are BIT-IDENTICAL to the lit
+    path (asserted by test_sql_double_array_bit_parity)."""
+    body = ",".join(f"{float(x)!r}D" for x in values)
+    return F.expr(f"array({body})")
+
+
 def _norm(c: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -166,7 +177,7 @@ def hyperplane_signatures(
     for t in range(n_tables):
         sig = None
         for i in range(planes_per_table):
-            arr = F.array(*[F.lit(float(x)) for x in planes[t, i]])
+            arr = _sql_double_array(planes[t, i])
             d = F.aggregate(
                 F.zip_with(F.col(vec_col), arr, lambda x, p: x.cast("double") * p),
                 F.lit(0.0),
@@ -265,7 +276,7 @@ def ivf_assign(
             F.aggregate(
                 F.zip_with(
                     F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in cents[c]]),
+                    _sql_double_array(cents[c]),
                     lambda x, p: x.cast("double") * p,
                 ),
                 F.lit(0.0),

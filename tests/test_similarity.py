@@ -235,3 +235,27 @@ def test_rocchio_feedback_pulls_toward_cluster(spark):
     got = rocchio_topk(q, c, fb_k=5, alpha=1.0, beta=2.0, k=10).collect()
     top5 = [int(r["docid"]) for r in got if r["rank"] <= 5]
     assert all(d < 20 for d in top5)  # all from cluster A after feedback
+
+
+def test_sql_double_array_bit_parity(spark):
+    """_sql_double_array (one SQL-parsed literal) must be bit-identical to
+    the per-element F.lit path for gnarly finite doubles — the LSH planes
+    and IVF centroids are built from it."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from flagembedding_spark.operators.similarity import _sql_double_array
+
+    rng = np.random.default_rng(99)
+    vals = list(rng.standard_normal(64)) + [
+        0.0, -0.0, 1.0, -1.0, 1e-300, -1e300, 0.1, 1 / 3, 2**-1074,
+    ]
+    df = spark.range(1).select(
+        _sql_double_array(vals).alias("a"),
+        F.array(*[F.lit(float(x)) for x in vals]).alias("b"),
+    )
+    row = df.collect()[0]
+    import struct as st
+
+    pack = lambda xs: [st.pack(">d", x) for x in xs]  # noqa: E731
+    assert pack(row["a"]) == pack(row["b"])
