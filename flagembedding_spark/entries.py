@@ -78,6 +78,14 @@ def build_doc_index(spark: SparkSession, sf_dir: str,
     if key in _INDEX_MEMO:
         return _INDEX_MEMO[key]
     docs = _docs(spark, sf_dir)
+    # a compact documents table scans as a handful of input splits; without
+    # a respread the one-pass kernel AND every operation derived from the
+    # cached stream would inherit that parallelism at larger scale factors.
+    # Round-robin respread of the raw rows (docids come from the doc_id
+    # column, so outputs are partitioning-independent).
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     idx = build_index(
         docs, config, content_col="text", docid_long="doc_id", cache=True,
     )
