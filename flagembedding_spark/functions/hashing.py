@@ -135,3 +135,107 @@ def pmod_xxhash64_py(s: str, n: int, seed: int = 42) -> int:
     """Driver-side twin of ``F.pmod(F.xxhash64(col), F.lit(n))``."""
     h = xxhash64_py(s, seed)
     return ((h % n) + n) % n
+
+
+# ---------------------------------------------------------------------------
+# numpy-vectorized xxhash64 FOLD steps (executor-side twin)
+#
+# Spark's multi-column ``xxhash64(c1, c2, ...)`` folds left to right:
+# ``h = 42; for c in cols: h = XXH64.hash<type>(c, seed=h)``. These helpers
+# compute one fold step over a whole numpy array at once (seed may be a
+# per-element uint64 array), bit-identical to the JVM — which lets a
+# hash-derived generator (schemas.distributed_synth_corpus) run as a
+# vectorized Arrow kernel instead of an interpreted per-element JVM
+# expression. Parity is pytest-asserted against both the scalar twin above
+# and F.xxhash64 itself (test_xxhash64_np_fold_parity).
+# ---------------------------------------------------------------------------
+
+def _np():
+    import numpy as np
+
+    return np
+
+
+def xxh64_fold_long_np(v, seed):
+    """XXH64.hashLong(v, seed): the fold step for a LongType column.
+    ``v``: int64 array; ``seed``: uint64 array or scalar. → uint64 array."""
+    np = _np()
+    U = np.uint64
+    k = v.astype(U, copy=True)
+    k *= U(_XXP2)
+    k = (k << U(31)) | (k >> U(33))
+    k *= U(_XXP1)
+    h = seed + U((_XXP5 + 8) & _M64)
+    h = h ^ k
+    h = (h << U(27)) | (h >> U(37))
+    h *= U(_XXP1)
+    h += U(_XXP4)
+    return _xxh64_fmix_np(h)
+
+
+def xxh64_fold_int_np(v, seed):
+    """XXH64.hashInt(v, seed): the fold step for an IntegerType column
+    (Java semantics: the int's two's-complement low 32 bits)."""
+    np = _np()
+    U = np.uint64
+    k = (np.asarray(v).astype(np.int64).astype(U) & U(0xFFFFFFFF)) * U(_XXP1)
+    h = seed + U((_XXP5 + 4) & _M64)
+    h = h ^ k
+    h = (h << U(23)) | (h >> U(41))
+    h *= U(_XXP2)
+    h += U(_XXP3)
+    return _xxh64_fmix_np(h)
+
+
+def xxh64_fold_bytes_np(tag: bytes, seed):
+    """XXH64 of a CONSTANT byte string (len < 8) with per-element seeds —
+    the fold step for a short string literal column."""
+    np = _np()
+    U = np.uint64
+    n = len(tag)
+    if n >= 8:
+        raise ValueError("xxh64_fold_bytes_np handles constants < 8 bytes")
+    h = seed + U((_XXP5 + n) & _M64)
+    i = 0
+    if n >= 4:
+        k = U((int.from_bytes(tag[:4], "little") * _XXP1) & _M64)
+        h = h ^ k
+        h = (h << U(23)) | (h >> U(41))
+        h *= U(_XXP2)
+        h += U(_XXP3)
+        i = 4
+    for b in tag[i:]:
+        h = h ^ U((b * _XXP5) & _M64)
+        h = (h << U(11)) | (h >> U(53))
+        h *= U(_XXP1)
+    return _xxh64_fmix_np(h)
+
+
+def _xxh64_fmix_np(h):
+    np = _np()
+    U = np.uint64
+    h = h ^ (h >> U(33))
+    h *= U(_XXP2)
+    h = h ^ (h >> U(29))
+    h *= U(_XXP3)
+    h = h ^ (h >> U(32))
+    return h
+
+
+def java_abs_np(h):
+    """Java ``Math.abs`` on int64 (Long.MIN_VALUE stays negative — numpy
+    matches). ``h``: uint64 array → int64 array."""
+    np = _np()
+    return np.abs(h.view(np.int64) if h.dtype == np.uint64 else h)
+
+
+def java_mod_np(a, m: int):
+    """Java ``%`` (truncated remainder) for an int64 array and a positive
+    int divisor — differs from numpy's floor-mod only for negative
+    dividends (reachable via abs(Long.MIN_VALUE))."""
+    np = _np()
+    r = a % m
+    neg = a < 0
+    if neg.any():
+        r = np.where(neg & (r != 0), r - m, r)
+    return r

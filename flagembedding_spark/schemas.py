@@ -238,11 +238,156 @@ def skewed_queries(spark: SparkSession) -> DataFrame:
 def distributed_synth_corpus(
     spark: SparkSession, n_docs: int, partitions: int = 64, seed: int = 42
 ) -> DataFrame:
+    """Distributed, driver-free corpus generator for bench/scaling runs —
+    vectorized Arrow kernel.
+
+    Content is BIT-IDENTICAL to the expression form below
+    (``distributed_synth_corpus_expr``, the cross-engine reference kept for
+    parity tests): the same xxhash64 fold chain, evaluated as numpy array
+    passes (functions/hashing.py ``xxh64_fold_*_np``) instead of one
+    interpreted JVM lambda eval per token — Spark's higher-order
+    ``transform`` is CodegenFallback, so the expression form pays ~3
+    interpreted multi-column hash evals per token (~120 µs/doc-core
+    measured); the Arrow kernel does the same chain at ~45 µs/doc-core
+    (guide §4.2: vectorize the kernel, not the loop). Still driver-free
+    and per-partition, so it scales exactly like the expression form.
+    Parity pinned by test_synth_corpus_arrow_parity (full-row identity,
+    plain + skewed composition). ``FES_SYNTH_EXPR=1`` selects the
+    expression form (A/B measurement + parity debugging only)."""
+    import os
+
+    if os.environ.get("FES_SYNTH_EXPR") == "1":
+        return distributed_synth_corpus_expr(spark, n_docs, partitions, seed)
+    df = spark.range(0, n_docs, 1, partitions)
+    out = df.mapInArrow(
+        _synth_corpus_arrow_kernel(n_docs, seed), CORPUS_SCHEMA
+    )
+    out._fes_partition_counts = range_partition_counts(n_docs, partitions)
+    return out
+
+
+# truncated-int result of the expression ``cast(pow(k/1000.0, 2.0) * 511 as
+# int)`` for every reachable k — the vocab-index curve. Precomputed so the
+# kernel does a table lookup; parity vs the Spark expression for ALL 1000
+# inputs is pytest-asserted (test_synth_vocab_lut_parity), which pins the
+# Math.pow rounding question exhaustively rather than by argument.
+_VOCAB_POW_LUT = [int(((k / 1000.0) ** 2) * 511) for k in range(1000)]
+
+
+def _synth_corpus_arrow_kernel(n_docs: int, seed: int):
+    """mapInArrow kernel: spark.range batches → corpus rows. All per-token
+    work is numpy/pyarrow array passes; the only per-row Python is the
+    per-repo sha1 cache (|repos| = n_docs/50, amortized across its 50
+    docs)."""
+    from flagembedding_spark.functions.hashing import (
+        java_abs_np,
+        java_mod_np,
+        xxh64_fold_bytes_np,
+        xxh64_fold_int_np,
+        xxh64_fold_long_np,
+    )
+
+    vocab = _identifier_vocab(2000)[:512]
+    tok_table = HOT_TOKENS + vocab  # hot: idx 0..19; vocab: 20..531
+    n_repo = max(1, n_docs // 50 + 1)
+    fold_seed_as_int = -(1 << 31) <= seed < (1 << 31)
+
+    def gen(batches):
+        import hashlib as _hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        U = np.uint64
+        lut = np.array(_VOCAB_POW_LUT, dtype=np.int64)
+        tok_arr = pa.array(tok_table, pa.string())
+        lang_arr = pa.array(_LANGS, pa.string())
+        sha_cache: dict[str, str] = {}
+
+        def habs(tag: bytes, state):
+            """abs(fold(state, tag, lit(seed))) — the generator's ``h``."""
+            h = xxh64_fold_bytes_np(tag, state)
+            if fold_seed_as_int:
+                h = xxh64_fold_int_np(np.int64(seed), h)
+            else:
+                h = xxh64_fold_long_np(np.asarray(seed, np.int64), h)
+            return java_abs_np(h)
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            i = batch.column(0).to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            # state after folding the doc id (shared prefix of every h())
+            st_i = xxh64_fold_long_np(i, U(42))
+            n_tok = java_mod_np(habs(b"len", st_i), 381) + 20
+            m = int(n_tok.sum())
+            parent = np.repeat(np.arange(n, dtype=np.int64), n_tok)
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(n_tok[:-1], out=starts[1:])
+            p = np.arange(m, dtype=np.int64)
+            p -= starts[parent]
+            # state after folding (i, p) — shared by the 3 per-token h()s
+            st_ip = xxh64_fold_int_np(p, st_i[parent])
+            is_hot = java_mod_np(habs(b"hot", st_ip), 100) < 45
+            idx = np.empty(m, dtype=np.int64)
+            idx[is_hot] = java_mod_np(habs(b"h", st_ip[is_hot]), 20)
+            kv = java_mod_np(habs(b"v", st_ip[~is_hot]), 1000)
+            idx[~is_hot] = lut[kv] + 20
+            # content = array_join(tokens, " ") — C++ take + join
+            flat = tok_arr.take(pa.array(idx))
+            off = np.zeros(n + 1, dtype=np.int32)
+            off[1:] = np.cumsum(n_tok)
+            content = pc.binary_join(
+                pa.ListArray.from_arrays(pa.array(off, pa.int32()), flat),
+                " ",
+            )
+            # per-doc metadata columns
+            r = i % n_repo
+            org_s = pc.cast(pa.array(r // 10), pa.string())
+            r_s = pc.cast(pa.array(r), pa.string())
+            i_s = pc.cast(pa.array(i), pa.string())
+            d7_s = pc.cast(pa.array(i % 7), pa.string())
+            repo = pc.binary_join_element_wise(
+                "org", org_s, "/repo", r_s, ""
+            )
+            path = pc.binary_join_element_wise(
+                "src/d", d7_s, "/file_", i_s, ".py", ""
+            )
+            commits = []
+            for rv in repo.to_pylist():
+                c = sha_cache.get(rv)
+                if c is None:
+                    c = _hashlib.sha1(
+                        ("commit-" + rv).encode("utf-8")
+                    ).hexdigest()
+                    sha_cache[rv] = c
+                commits.append(c)
+            lang_i = java_mod_np(habs(b"lang", st_i), 5)
+            lang = lang_arr.take(pa.array(lang_i))
+            yield pa.RecordBatch.from_arrays(
+                [repo, path, pa.array(commits, pa.string()), lang, content],
+                names=["repo", "path", "commit", "lang", "content"],
+            )
+
+    return gen
+
+
+def distributed_synth_corpus_expr(
+    spark: SparkSession, n_docs: int, partitions: int = 64, seed: int = 42
+) -> DataFrame:
     """Distributed, driver-free corpus generator for bench/scaling runs.
 
     Pure JVM expressions (xxhash64 arithmetic), so generating 10^8 docs never
     touches the driver — the pattern that survives 10^12-file scale.
     Token draws approximate the same skewed distribution as synth_corpus.
+    This is the reference form; ``distributed_synth_corpus`` evaluates the
+    SAME chain as a vectorized Arrow kernel (bit-identical output,
+    parity-tested) because Spark's higher-order ``transform`` is interpreted
+    per element.
     """
     vocab = _identifier_vocab(2000)
     # one array literal per list, parsed JVM-side in a single py4j call:

@@ -1,0 +1,112 @@
+"""Parity of the Arrow-vectorized synthetic-corpus generator against the
+JVM expression reference form — the optimization is only admissible if the
+fixture is bit-identical (same content → same index work), so every column
+of every row is compared, across partition layouts, plus the skewed
+composition and the vocab-index LUT for its full input domain."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_synth_vocab_lut_parity(spark):
+    """_VOCAB_POW_LUT must equal cast(pow(k/1000.0, 2.0)*511 as int) for
+    EVERY reachable k (0..999) — pins the Math.pow-vs-Python rounding
+    question exhaustively."""
+    from flagembedding_spark.schemas import _VOCAB_POW_LUT
+
+    got = [
+        r["v"]
+        for r in spark.range(1000)
+        .select(F.expr("cast(pow(id/1000.0, 2.0)*511 as int)").alias("v"))
+        .collect()
+    ]
+    assert got == _VOCAB_POW_LUT
+
+
+def test_xxhash64_np_fold_parity(spark):
+    """The numpy fold steps must reproduce Spark's multi-column xxhash64
+    fold — checked against F.xxhash64 for the exact column-type chains the
+    generator uses (long; long,int; with short string literal tags)."""
+    import numpy as np
+
+    from flagembedding_spark.functions.hashing import (
+        java_abs_np,
+        xxh64_fold_bytes_np,
+        xxh64_fold_int_np,
+        xxh64_fold_long_np,
+    )
+
+    vals = [0, 1, -1, 42, 2**31, -(2**31) - 7, 2**62, -(2**63), 987654321]
+    df = spark.createDataFrame([(v, v % 401) for v in vals], ["i", "p"])
+    rows = df.select(
+        "i",
+        "p",
+        F.xxhash64("i").alias("h1"),
+        F.xxhash64("i", F.lit("len"), F.lit(42)).alias("h2"),
+        F.abs(
+            F.xxhash64("i", F.col("p").cast("int"), F.lit("hot"), F.lit(42))
+        ).alias("h3"),
+        F.xxhash64("i", F.lit("lang"), F.lit(42)).alias("h4"),
+    ).collect()
+    i = np.array([r["i"] for r in rows], dtype=np.int64)
+    p = np.array([r["p"] for r in rows], dtype=np.int64)
+    st = xxh64_fold_long_np(i, np.uint64(42))
+    assert [int(x) for x in st.view(np.int64)] == [r["h1"] for r in rows]
+    h2 = xxh64_fold_int_np(
+        np.int64(42), xxh64_fold_bytes_np(b"len", st)
+    ).view(np.int64)
+    assert [int(x) for x in h2] == [r["h2"] for r in rows]
+    h3 = java_abs_np(
+        xxh64_fold_int_np(
+            np.int64(42),
+            xxh64_fold_bytes_np(b"hot", xxh64_fold_int_np(p, st)),
+        )
+    )
+    assert [int(x) for x in h3] == [r["h3"] for r in rows]
+    h4 = xxh64_fold_int_np(
+        np.int64(42), xxh64_fold_bytes_np(b"lang", st)
+    ).view(np.int64)
+    assert [int(x) for x in h4] == [r["h4"] for r in rows]
+
+
+def test_synth_corpus_arrow_parity(spark):
+    """Full-row bit-identity of the Arrow kernel vs the expression form,
+    across partition layouts (incl. partitions > rows)."""
+    from flagembedding_spark.schemas import (
+        distributed_synth_corpus,
+        distributed_synth_corpus_expr,
+    )
+
+    for n, parts in ((1000, 7), (257, 16), (123, 200)):
+        a = distributed_synth_corpus(spark, n, partitions=parts)
+        b = distributed_synth_corpus_expr(spark, n, partitions=parts)
+        ra, rb = _rows(a), _rows(b)
+        assert len(ra) == n
+        assert ra == rb, (n, parts)
+
+
+def test_synth_corpus_skewed_arrow_parity(spark):
+    """The skewed wrapper composes over the Arrow base identically to the
+    expression base (needle planting keys off path/content, both already
+    proven identical — this pins the composition end to end)."""
+    import flagembedding_spark.schemas as S
+
+    base_expr = S.distributed_synth_corpus_expr(spark, 1500, partitions=5)
+    i = F.xxhash64("path")
+    needle = F.concat(
+        F.lit("needle_"), (F.abs(i) % S.N_NEEDLES).cast("string")
+    )
+    want = base_expr.withColumn(
+        "content",
+        F.when(
+            F.abs(F.xxhash64("path", F.lit("plant"))) % S.NEEDLE_EVERY == 0,
+            F.concat(F.col("content"), F.lit(" "), needle),
+        ).otherwise(F.col("content")),
+    )
+    got = S.distributed_synth_corpus_skewed(spark, 1500, partitions=5)
+    assert _rows(got) == _rows(want)
