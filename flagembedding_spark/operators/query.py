@@ -172,6 +172,29 @@ def bm25_partial_scores(
         # partial contribution only — document stats untouched
         partial = partial * F.col("boost")
 
+    if "term_hash" in index.postings.columns:
+        # persisted stream indexes carry xxhash64(term): probe the broadcast
+        # relation on the int64 key (string-key probing over the full
+        # postings scan dominated query cost — guide §3.1), then drop hash
+        # collisions with an exact string compare on the (tiny) matched set.
+        # Bit-identical results: the string check restores exact-term join
+        # semantics. It is phrased as >= AND <= because a plain equality
+        # would be extracted as a SECOND equi-join key (hashing the string
+        # again for every probe — the cost this path removes); the range
+        # pair stays a residual condition, evaluated only on hash matches.
+        qh = qt_idf.select(
+            F.col("term").alias("_qterm"),
+            F.xxhash64("term").alias("_qh"),
+            *[c for c in qt_cols if c != "term"],
+        )
+        t, qt_, th = F.col("term"), F.col("_qterm"), F.col("term_hash")
+        return (
+            index.postings.join(
+                F.broadcast(qh),
+                (th == F.col("_qh")) & (t >= qt_) & (t <= qt_),
+            )
+            .select("qid", "docid", partial.alias("s"))
+        )
     return index.postings.join(F.broadcast(qt_idf), "term").select(
         "qid", "docid", partial.alias("s")
     )

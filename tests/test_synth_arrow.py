@@ -110,3 +110,64 @@ def test_synth_corpus_skewed_arrow_parity(spark):
     )
     got = S.distributed_synth_corpus_skewed(spark, 1500, partitions=5)
     assert _rows(got) == _rows(want)
+
+
+def test_term_hash_probe_identity(spark, tmp_path):
+    """Persisted stream indexes carry term_hash and bm25 probes on the
+    int64 key with a residual exact-string check (query.py) — results must
+    be bit-identical to the string-key join, and the physical join key must
+    stay hash-only (a plain equality would re-extract the string as a
+    second equi key, re-paying the string hashing the path removes)."""
+    from flagembedding_spark.config import BM25Config
+    from flagembedding_spark.operators.query import bm25_topk
+    from flagembedding_spark.schemas import distributed_synth_corpus
+    from flagembedding_spark.sources.index_store import build_and_save_index
+
+    corpus = distributed_synth_corpus(spark, 500, partitions=4)
+    idx = build_and_save_index(corpus, str(tmp_path / "idx"), BM25Config())
+    assert "term_hash" in idx.postings.columns
+    qs = spark.createDataFrame(
+        [("q1", "def return get_er_0"), ("q2", "zz_oov def def"),
+         ("q3", "zz_all_oov")],
+        ["query_id", "query"],
+    )
+    res = bm25_topk(idx, qs, k=7)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    bhj_keys = re.findall(r"BroadcastHashJoin \[([^\]]*)\]", plan)
+    assert any(
+        k.startswith("term_hash") and "," not in k for k in bhj_keys
+    ), bhj_keys
+    idx_str = type(idx)(
+        postings=idx.postings.drop("term_hash"),
+        doc_stats=idx.doc_stats,
+        dictionary=idx.dictionary,
+        stats=idx.stats,
+        config=idx.config,
+    )
+    want = bm25_topk(idx_str, qs, k=7)
+    assert sorted(map(tuple, res.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_sha256_hex_col_identity():
+    """Buffer-slice sha256 must equal hashlib over the re-encoded python
+    strings — incl. empty strings, unicode, a sliced array view, and a
+    chunked array."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from flagembedding_spark.operators.arrow_postings import sha256_hex_col
+
+    texts = ["", "a", "héllo wörld", "日本語 テスト", "x" * 5000, "def (", ""]
+    want = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
+    arr = pa.array(texts, pa.string())
+    assert sha256_hex_col(arr).to_pylist() == want
+    assert sha256_hex_col(arr.slice(2, 4)).to_pylist() == want[2:6]
+    chunked = pa.chunked_array([texts[:3], texts[3:]], pa.string())
+    assert sha256_hex_col(chunked).to_pylist() == want
+    large = pa.array(texts, pa.large_string())
+    assert sha256_hex_col(large).to_pylist() == want
