@@ -82,10 +82,22 @@ def build_doc_index(spark: SparkSession, sf_dir: str,
     # a respread the one-pass kernel AND every operation derived from the
     # cached stream would inherit that parallelism at larger scale factors.
     # Round-robin respread of the raw rows (docids come from the doc_id
-    # column, so outputs are partitioning-independent).
+    # column, so outputs are partitioning-independent). The width is
+    # DERIVED FROM INPUT SIZE (≈4 MiB of scan bytes per partition, capped
+    # at session parallelism — guide §2.6: partition counts should scale
+    # with data, not sit at a constant tuned to one deployment): a
+    # sub-megabyte table gets one task instead of forking the session's
+    # full Python worker pool for a few thousand rows (pool cold start
+    # measured ~3.3 s of the first build at local[32]), while a table 100x
+    # larger widens back to the full pool; beyond that the scan's own
+    # splits already exceed the pool and no respread happens.
     par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    size = int(
+        docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    want = min(par, max(1, -(-size // (4 << 20))))
+    if docs.rdd.getNumPartitions() < want:
+        docs = docs.repartition(want)
     idx = build_index(
         docs, config, content_col="text", docid_long="doc_id", cache=True,
     )

@@ -158,9 +158,12 @@ def _np():
 
 def xxh64_fold_long_np(v, seed):
     """XXH64.hashLong(v, seed): the fold step for a LongType column.
-    ``v``: int64 array; ``seed``: uint64 array or scalar. → uint64 array."""
+    ``v``: int64 array; ``seed``: uint64 array or scalar. → uint64 array.
+    (Wraparound is the hash's arithmetic: numpy only warns about it for
+    0-d operands, so scalar inputs go through a 1-element array.)"""
     np = _np()
     U = np.uint64
+    v = np.atleast_1d(np.asarray(v))
     k = v.astype(U, copy=True)
     k *= U(_XXP2)
     k = (k << U(31)) | (k >> U(33))
@@ -178,7 +181,8 @@ def xxh64_fold_int_np(v, seed):
     (Java semantics: the int's two's-complement low 32 bits)."""
     np = _np()
     U = np.uint64
-    k = (np.asarray(v).astype(np.int64).astype(U) & U(0xFFFFFFFF)) * U(_XXP1)
+    v = np.atleast_1d(np.asarray(v))
+    k = (v.astype(np.int64).astype(U) & U(0xFFFFFFFF)) * U(_XXP1)
     h = seed + U((_XXP5 + 4) & _M64)
     h = h ^ k
     h = (h << U(23)) | (h >> U(41))

@@ -182,9 +182,15 @@ def bm25_partial_scores(
         # would be extracted as a SECOND equi-join key (hashing the string
         # again for every probe — the cost this path removes); the range
         # pair stays a residual condition, evaluated only on hash matches.
+        # the stored hash is int32 (xxhash64 low bits, two's complement);
+        # shiftleft/shiftright sign-extends the same low bits out of the
+        # JVM hash without an ANSI-throwing overflow cast, and the stored
+        # int32 widens to long in the join key comparison
         qh = qt_idf.select(
             F.col("term").alias("_qterm"),
-            F.xxhash64("term").alias("_qh"),
+            F.shiftright(F.shiftleft(F.xxhash64("term"), 32), 32)
+            .cast("int")  # ANSI-safe: sign-extended low 32 bits fit int32
+            .alias("_qh"),
             *[c for c in qt_cols if c != "term"],
         )
         t, qt_, th = F.col("term"), F.col("_qterm"), F.col("term_hash")

@@ -50,14 +50,16 @@ def build_and_save_index(
 
     config = config or BM25Config()
     t0 = time.perf_counter()
-    stream = tokenize_count_stream(corpus, config, content_col, docid_str)
     # term_hash rides the stream so query-time term lookups can probe on a
     # numeric key (string-key BroadcastHashJoin probing measured 2.7 s of a
     # 5.5 s query batch over 44M postings vs 0.7 s for the scan itself —
-    # guide §3.1: make the join key cheap). Codegen'd xxhash64 at write time
-    # (~0.1 s per build leg); NULL term (doc-stats rows) hashes to the seed
-    # and is filtered out of postings on read as before.
-    stream = stream.withColumn("term_hash", F.xxhash64("term"))
+    # guide §3.1: make the join key cheap). Hashed inside the kernel per
+    # DISTINCT term per batch (a per-row JVM xxhash64 projection cost ~1 s
+    # of the corpus pass); NULL term (doc-stats rows) carries the seed and
+    # is filtered out of postings on read as before.
+    stream = tokenize_count_stream(
+        corpus, config, content_col, docid_str, with_term_hash=True
+    )
     stream.write.mode("overwrite").parquet(f"{root}/stream")
     if timings is not None:
         # the corpus pass: tokenize+count+persist — the phase whose

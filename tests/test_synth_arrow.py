@@ -138,7 +138,7 @@ def test_term_hash_probe_identity(spark, tmp_path):
     bhj_keys = re.findall(r"BroadcastHashJoin \[([^\]]*)\]", plan)
     assert any(
         k.startswith("term_hash") and "," not in k for k in bhj_keys
-    ), bhj_keys
+    ), bhj_keys  # single numeric key, no second (string) equi-key
     idx_str = type(idx)(
         postings=idx.postings.drop("term_hash"),
         doc_stats=idx.doc_stats,
@@ -150,6 +150,27 @@ def test_term_hash_probe_identity(spark, tmp_path):
     assert sorted(map(tuple, res.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_stream_term_hash_parity(spark, tmp_path):
+    """The kernel-computed term_hash column (dictionary-encode + scalar
+    xxhash64_py per distinct term) must be bit-identical to a JVM
+    F.xxhash64(term) projection over the same stream — incl. the NULL-term
+    doc-stats rows (seed 42)."""
+    from flagembedding_spark.config import BM25Config
+    from flagembedding_spark.schemas import distributed_synth_corpus
+    from flagembedding_spark.sources.index_store import build_and_save_index
+
+    corpus = distributed_synth_corpus(spark, 300, partitions=3)
+    build_and_save_index(corpus, str(tmp_path / "s"), BM25Config())
+    stream = spark.read.parquet(str(tmp_path / "s" / "stream"))
+    want = F.shiftright(F.shiftleft(F.xxhash64("term"), 32), 32)
+    bad = stream.filter(
+        ~F.col("term_hash").cast("long").eqNullSafe(want)
+    ).count()
+    assert bad == 0
+    assert stream.filter(F.col("term_hash").isNull()).count() == 0
+    assert dict(stream.dtypes)["term_hash"] == "int"
 
 
 def test_sha256_hex_col_identity():
