@@ -155,8 +155,9 @@ def tokenize_count_stream(
     rows (term NULL, carrying content_sha256). Zero shuffles.
 
     ``with_term_hash`` (persisted-store builds only): append a
-    ``term_hash = xxhash64(term)`` column so query-time term lookups probe
-    on an int64 key (operators/query.py). Computed per batch over the
+    ``term_hash`` column (int32, xxhash64 low bits) so query-time term
+    lookups probe on a numeric key (operators/query.py). Computed per
+    batch over the
     DICTIONARY-ENCODED term column — one scalar hash per DISTINCT term in
     the batch (cached per task), then a take — instead of a per-row JVM
     projection over the full stream (which measured ~1 s of the corpus

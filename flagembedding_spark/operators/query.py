@@ -173,19 +173,19 @@ def bm25_partial_scores(
         partial = partial * F.col("boost")
 
     if "term_hash" in index.postings.columns:
-        # persisted stream indexes carry xxhash64(term): probe the broadcast
-        # relation on the int64 key (string-key probing over the full
-        # postings scan dominated query cost — guide §3.1), then drop hash
-        # collisions with an exact string compare on the (tiny) matched set.
-        # Bit-identical results: the string check restores exact-term join
-        # semantics. It is phrased as >= AND <= because a plain equality
-        # would be extracted as a SECOND equi-join key (hashing the string
-        # again for every probe — the cost this path removes); the range
-        # pair stays a residual condition, evaluated only on hash matches.
-        # the stored hash is int32 (xxhash64 low bits, two's complement);
-        # shiftleft/shiftright sign-extends the same low bits out of the
-        # JVM hash without an ANSI-throwing overflow cast, and the stored
-        # int32 widens to long in the join key comparison
+        # persisted stream indexes carry an int32 term_hash (xxhash64 low
+        # bits): probe the broadcast relation on the numeric key
+        # (string-key probing over the full postings scan dominated query
+        # cost — guide §3.1), then drop hash collisions with an exact
+        # string compare on the (tiny) matched set. Bit-identical results:
+        # the string check restores exact-term join semantics. It is
+        # phrased as >= AND <= because a plain equality would be extracted
+        # as a SECOND equi-join key (hashing the string again for every
+        # probe — the cost this path removes); the range pair stays a
+        # residual condition, evaluated only on hash matches. The probe
+        # side sign-extends the same low 32 bits out of the JVM hash via
+        # shiftleft/shiftright (no ANSI-throwing overflow cast; the final
+        # cast to int is safe because the value fits by construction).
         qh = qt_idf.select(
             F.col("term").alias("_qterm"),
             F.shiftright(F.shiftleft(F.xxhash64("term"), 32), 32)
