@@ -150,6 +150,7 @@ def tokenize_count_stream(
     max_local: int | None = None,
     docid_long: str | None = None,
     with_term_hash: bool = False,
+    emit_partial_dictionary: bool = False,
 ) -> DataFrame:
     """corpus → unified stream of postings rows (term NOT NULL) and doc-stats
     rows (term NULL, carrying content_sha256). Zero shuffles.
@@ -164,6 +165,17 @@ def tokenize_count_stream(
     pass at 44M postings). Doc-stats rows carry the xxhash64 seed (42),
     matching F.xxhash64(NULL); bit-parity with the JVM projection is
     pytest-pinned.
+
+    ``emit_partial_dictionary`` (persisted-store builds only): label every
+    row with ``rowclass`` (0 postings / 1 doc-stats / 2 dictionary
+    partials) and emit one extra row per DISTINCT term per batch carrying
+    its batch-local df in ``tf`` — classic map-side partial aggregation
+    riding the same single pass. The store writer partitions the output by
+    rowclass, so deriving the dictionary needs only the tiny partial files
+    instead of re-scanning the full posting stream, and postings readers
+    skip the interleaved stats rows (and their NULL filter) entirely.
+    Exact: a doc never spans two batches, so summing batch-local dfs is
+    the global df.
 
     ``group_expr`` (evaluated over the slim (docid_str, content) frame, e.g.
     a hash-chunk of docid_str): docids become DENSE PER GROUP — each group's
@@ -219,22 +231,27 @@ def tokenize_count_stream(
 
     stop_arr = pa.array(sorted(stop), pa.string()) if stop else None
 
-    out_schema = STREAM_SCHEMA
-    arrow_schema = _ARROW_SCHEMA
+    from pyspark.sql.types import IntegerType
+
+    extra_fields = []
+    extra_pa = []
     if with_term_hash:
         # int32 (xxhash64 low bits, two's complement): halves the extra
         # column's boundary/storage bytes; collisions are already removed
         # by the probe's residual exact-string check, so width only trades
         # a few more string compares, never correctness
-        from pyspark.sql.types import IntegerType
-
-        out_schema = StructType(
-            STREAM_SCHEMA.fields
-            + [StructField("term_hash", IntegerType(), False)]
-        )
-        arrow_schema = _ARROW_SCHEMA.append(
-            pa.field("term_hash", pa.int32(), nullable=False)
-        )
+        extra_fields.append(StructField("term_hash", IntegerType(), False))
+        extra_pa.append(pa.field("term_hash", pa.int32(), nullable=False))
+    if emit_partial_dictionary:
+        extra_fields.append(StructField("rowclass", IntegerType(), False))
+        extra_pa.append(pa.field("rowclass", pa.int32(), nullable=False))
+    out_schema = (
+        StructType(STREAM_SCHEMA.fields + extra_fields)
+        if extra_fields else STREAM_SCHEMA
+    )
+    arrow_schema = _ARROW_SCHEMA
+    for f in extra_pa:
+        arrow_schema = arrow_schema.append(f)
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
@@ -357,6 +374,8 @@ def tokenize_count_stream(
             if with_term_hash:
                 # F.xxhash64(NULL) returns the seed — stats rows match
                 stats_cols.append(pa.array(np.full(n, 42, dtype=np.int32)))
+            if emit_partial_dictionary:
+                stats_cols.append(pa.array(np.full(n, 1, dtype=np.int32)))
             yield pa.RecordBatch.from_arrays(stats_cols, schema=arrow_schema)
 
             # ---- postings batch(es): sha is NULL; docid_str is NULL too
@@ -385,9 +404,31 @@ def tokenize_count_stream(
                         hash_cache[t] = h
                     hv[j] = h
                 post_cols.append(pa.array(hv[t_idx].astype(np.int32)))
+            if emit_partial_dictionary:
+                post_cols.append(pa.array(np.zeros(m, dtype=np.int32)))
             post = pa.RecordBatch.from_arrays(post_cols, schema=arrow_schema)
             for s in range(0, m, max_out_rows):
                 yield post.slice(s, max_out_rows)
+
+            if emit_partial_dictionary:
+                # one row per DISTINCT term in the batch: tf = batch-local
+                # df (docs never span batches → sums to the exact global df)
+                kd = len(enc.dictionary)
+                part_cols = [
+                    pa.array(np.full(kd, -1, dtype=np.int64)),
+                    pa.nulls(kd, pa.string()),
+                    enc.dictionary,
+                    pa.array(np.bincount(t_idx, minlength=kd).astype(
+                        np.int64)),
+                    pa.array(np.zeros(kd, dtype=np.int64)),
+                    pa.nulls(kd, pa.string()),
+                ]
+                if with_term_hash:
+                    part_cols.append(pa.array(hv.astype(np.int32)))
+                part_cols.append(pa.array(np.full(kd, 2, dtype=np.int32)))
+                yield pa.RecordBatch.from_arrays(
+                    part_cols, schema=arrow_schema
+                )
 
         my_expected = {
             k: c for k, c in expected_counts.items()

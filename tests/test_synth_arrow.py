@@ -173,6 +173,51 @@ def test_stream_term_hash_parity(spark, tmp_path):
     assert dict(stream.dtypes)["term_hash"] == "int"
 
 
+def test_rowclass_store_equivalence(spark, tmp_path):
+    """The rowclass-partitioned store (postings / doc-stats / dictionary
+    partials split by file, dictionary derived from map-side partial dfs)
+    must load back EXACTLY what the in-memory build computes: postings,
+    doc_stats, dictionary (df + idf), corpus stats, and bm25 results."""
+    from flagembedding_spark.config import BM25Config
+    from flagembedding_spark.operators.index_build import build_index
+    from flagembedding_spark.operators.query import bm25_topk
+    from flagembedding_spark.schemas import distributed_synth_corpus
+    from flagembedding_spark.sources.index_store import build_and_save_index
+
+    corpus = distributed_synth_corpus(spark, 700, partitions=5)
+    idx = build_and_save_index(corpus, str(tmp_path / "s"), BM25Config())
+    corpus2 = distributed_synth_corpus(spark, 700, partitions=5)
+    mem = build_index(corpus2, BM25Config(), cache=False)
+
+    def rows(df, cols):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    assert rows(idx.postings, ["term", "docid", "tf", "dl"]) == rows(
+        mem.postings, ["term", "docid", "tf", "dl"]
+    )
+    assert rows(idx.doc_stats, ["docid", "docid_str", "dl"]) == rows(
+        mem.doc_stats, ["docid", "docid_str", "dl"]
+    )
+    got_dict = {
+        r["term"]: (r["df"], round(r["idf"], 10))
+        for r in idx.dictionary.collect()
+    }
+    want_dict = {
+        r["term"]: (r["df"], round(r["idf"], 10))
+        for r in mem.dictionary.collect()
+    }
+    assert got_dict == want_dict
+    assert idx.stats.n_docs == mem.stats.n_docs == 700
+    assert abs(idx.stats.avgdl - mem.stats.avgdl) < 1e-9
+    qs = spark.createDataFrame(
+        [("q1", "def return get_er_0"), ("q2", "zz_oov")],
+        ["query_id", "query"],
+    )
+    assert sorted(map(tuple, bm25_topk(idx, qs, k=7).collect())) == sorted(
+        map(tuple, bm25_topk(mem, qs, k=7).collect())
+    )
+
+
 def test_include_docids_dataframe_cap(spark, monkeypatch):
     """An include_docids DataFrame past the documented cap must raise with
     guidance (layout tier / DocidBitmap) instead of materializing an
